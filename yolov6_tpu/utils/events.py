@@ -1,0 +1,75 @@
+"""Logging utilities (reference: yolov6/utils/events.py).
+
+Provides a global LOGGER whose level is WARNING on non-primary hosts so that
+multi-host runs only emit INFO logs once (reference gates on DDP rank;
+we gate on ``jax.process_index()``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+
+
+def _primary_process() -> bool:
+    # Avoid importing jax at module import time inside worker processes.
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+def set_logging(name: str = "yolov6_tpu") -> logging.Logger:
+    rank_ok = _primary_process() or os.environ.get("YOLOV6_TPU_LOG_ALL_HOSTS")
+    level = logging.INFO if rank_ok else logging.WARNING
+    logger = logging.getLogger(name)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(message)s"))
+        logger.addHandler(handler)
+    logger.setLevel(level)
+    logger.propagate = False
+    return logger
+
+
+LOGGER = set_logging()
+NCOLS = min(100, shutil.get_terminal_size().columns)
+
+
+def load_yaml(file_path: str) -> dict:
+    """Load a dataset-description yaml file (nc, names, paths)."""
+    import yaml
+
+    with open(file_path, errors="ignore") as f:
+        return yaml.safe_load(f)
+
+
+def save_yaml(data_dict: dict, save_path: str) -> None:
+    import yaml
+
+    with open(save_path, "w") as f:
+        yaml.safe_dump(data_dict, f, sort_keys=False)
+
+
+def write_tblog(tblogger, epoch, results, lrs, losses) -> None:
+    """Write scalar metrics to TensorBoard (reference: utils/events.py:33-44)."""
+    tblogger.add_scalar("val/mAP@0.5", results[0], epoch + 1)
+    tblogger.add_scalar("val/mAP@0.50:0.95", results[1], epoch + 1)
+    tblogger.add_scalar("train/iou_loss", losses[0], epoch + 1)
+    tblogger.add_scalar("train/dist_focalloss", losses[1], epoch + 1)
+    tblogger.add_scalar("train/cls_loss", losses[2], epoch + 1)
+    tblogger.add_scalar("x/lr0", lrs[0], epoch + 1)
+    tblogger.add_scalar("x/lr1", lrs[1], epoch + 1)
+    tblogger.add_scalar("x/lr2", lrs[2], epoch + 1)
+
+
+def write_tbimg(tblogger, imgs, step, type="train") -> None:
+    """Write images to TensorBoard (reference: utils/events.py:47-55)."""
+    if type == "train":
+        tblogger.add_image(f"train_batch", imgs, step + 1, dataformats="HWC")
+    elif type == "val":
+        for idx, img in enumerate(imgs):
+            tblogger.add_image(f"val_img_{idx + 1}", img, step + 1, dataformats="HWC")
