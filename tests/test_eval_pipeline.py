@@ -1,0 +1,124 @@
+"""End-to-end eval pipeline test on a synthetic dataset.
+
+A mock detector that emits the ground-truth boxes (in letterboxed coords)
+must score mAP ~= 1.0 after the full chain: dataset scan -> letterbox ->
+label transform -> (mock) inference -> scale_coords -> COCO conversion ->
+COCO evaluator. This pins the geometry of the whole eval path.
+"""
+
+import os
+import os.path as osp
+
+import cv2
+import numpy as np
+import pytest
+
+import conftest
+
+from yolov6_tpu.core.evaler import Evaler
+from yolov6_tpu.data.data_load import create_dataloader
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    img_dir = root / "images" / "val"
+    lb_dir = root / "labels" / "val"
+    img_dir.mkdir(parents=True)
+    lb_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    sizes = [(480, 640), (640, 480), (500, 500), (720, 405)]
+    for i, (h, w) in enumerate(sizes):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(str(img_dir / f"{1000 + i}.jpg"), img)
+        # 2 boxes per image, normalized xywh
+        rows = []
+        for _ in range(2):
+            bw, bh = rng.uniform(0.2, 0.4), rng.uniform(0.2, 0.4)
+            cx = rng.uniform(bw / 2, 1 - bw / 2)
+            cy = rng.uniform(bh / 2, 1 - bh / 2)
+            cls = int(rng.integers(0, 3))
+            rows.append(f"{cls} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
+        (lb_dir / f"{1000 + i}.txt").write_text("\n".join(rows) + "\n")
+    return str(img_dir)
+
+
+def test_eval_pipeline_perfect_mock(synthetic_dataset, tmp_path):
+    data_dict = {"nc": 3, "names": ["a", "b", "c"], "is_coco": False, "val": synthetic_dataset}
+    loader, dataset = create_dataloader(
+        synthetic_dataset, img_size=320, batch_size=2, data_dict=data_dict, task="val"
+    )
+    assert "anno_path" in data_dict  # auto-generated GT json
+
+    evaler = Evaler(data_dict, batch_size=2, img_size=320, save_dir=str(tmp_path))
+    max_det = 300
+
+    class MockInfer:
+        """Emit detections exactly at the letterboxed GT boxes."""
+
+        def __call__(self, variables, imgs):
+            imgs = np.asarray(imgs)
+            b, h, w, _ = imgs.shape
+            dets = np.zeros((b, max_det, 6), np.float32)
+            valid = np.zeros((b, max_det), bool)
+            labels = self._labels
+            for i in range(b):
+                lb = labels[i]
+                lb = lb[lb[:, 0] >= 0]
+                for j, (cls, cx, cy, bw, bh) in enumerate(lb):
+                    dets[i, j] = [
+                        (cx - bw / 2) * w, (cy - bh / 2) * h,
+                        (cx + bw / 2) * w, (cy + bh / 2) * h,
+                        0.9, cls,
+                    ]
+                    valid[i, j] = True
+            return dets, valid
+
+    mock = MockInfer()
+    evaler._infer = mock
+    evaler.variables = None
+
+    pred_results = []
+    for imgs, labels, paths, shapes, n_valid in loader:
+        mock._labels = labels
+        dets, valid = mock(None, imgs)
+        pred_results.extend(
+            evaler.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
+        )
+    assert len(pred_results) == 8  # 4 images x 2 boxes
+
+    ap50, ap = evaler.eval_model(pred_results, None, loader)
+    assert ap50 > 0.99, f"AP50={ap50}"
+    assert ap > 0.95, f"AP={ap}"
+
+
+def test_eval_pipeline_shifted_boxes_degrade(synthetic_dataset, tmp_path):
+    """Shifting mock detections must lower strict-IoU AP but keep AP50."""
+    data_dict = {"nc": 3, "names": ["a", "b", "c"], "is_coco": False, "val": synthetic_dataset}
+    loader, _ = create_dataloader(
+        synthetic_dataset, img_size=320, batch_size=2, data_dict=data_dict, task="val"
+    )
+    evaler = Evaler(data_dict, batch_size=2, img_size=320, save_dir=str(tmp_path))
+
+    pred_results = []
+    for imgs, labels, paths, shapes, n_valid in loader:
+        b, h, w, _ = imgs.shape
+        dets = np.zeros((b, 300, 6), np.float32)
+        valid = np.zeros((b, 300), bool)
+        for i in range(b):
+            lb = labels[i]
+            lb = lb[lb[:, 0] >= 0]
+            for j, (cls, cx, cy, bw, bh) in enumerate(lb):
+                shift = 0.1 * bw * w  # ~10% width shift
+                dets[i, j] = [
+                    (cx - bw / 2) * w + shift, (cy - bh / 2) * h,
+                    (cx + bw / 2) * w + shift, (cy + bh / 2) * h,
+                    0.9, cls,
+                ]
+                valid[i, j] = True
+        pred_results.extend(
+            evaler.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
+        )
+    ap50, ap = evaler.eval_model(pred_results, None, loader)
+    assert ap50 > 0.99
+    assert ap < 0.95

@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Evaluation CLI (reference: tools/eval.py).
+
+Also importable as ``tools.eval.run(...)`` — the in-training eval API used by
+the trainer (reference: core/engine.py:224).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import sys
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+import jax.numpy as jnp
+
+from yolov6_tpu.core.evaler import Evaler
+from yolov6_tpu.models.yolo import build_model
+from yolov6_tpu.utils.checkpoint import load_checkpoint_variables
+from yolov6_tpu.utils.config import Config
+from yolov6_tpu.utils.events import LOGGER
+from yolov6_tpu.utils.general import increment_name
+
+
+def get_args_parser(add_help=True):
+    parser = argparse.ArgumentParser(description="YOLOv6-TPU COCO Evaluation", add_help=add_help)
+    parser.add_argument("--data", type=str, default="./data/coco.yaml")
+    parser.add_argument("--weights", type=str, default="./weights/yolov6s.msgpack")
+    parser.add_argument("--config", type=str, default="./configs/yolov6s.py",
+                        help="model config (needed to rebuild the graph)")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--img-size", type=int, default=640)
+    parser.add_argument("--conf-thres", type=float, default=0.03)
+    parser.add_argument("--iou-thres", type=float, default=0.65)
+    parser.add_argument("--task", default="val", help="val, test or speed")
+    parser.add_argument("--half", default=True, action="store_true", help="bf16 inference")
+    parser.add_argument("--save_dir", type=str, default="runs/val/")
+    parser.add_argument("--name", type=str, default="exp")
+    parser.add_argument("--shrink_size", type=int, default=0)
+    parser.add_argument("--infer_on_rect", default=False, action="store_true")
+    parser.add_argument("--reproduce_640_eval", default=False, action="store_true")
+    parser.add_argument("--eval_config_file", type=str,
+                        default="./configs/experiment/eval_640_repro.py")
+    parser.add_argument("--verbose", default=False, action="store_true")
+    parser.add_argument("--specific-shape", action="store_true")
+    parser.add_argument("--height", type=int, default=640)
+    parser.add_argument("--width", type=int, default=640)
+    return parser
+
+
+def run(
+    data,
+    weights=None,
+    config=None,
+    batch_size=32,
+    img_size=640,
+    conf_thres=0.03,
+    iou_thres=0.65,
+    task="val",
+    half=True,
+    model=None,
+    variables=None,
+    dataloader=None,
+    save_dir="",
+    shrink_size=0,
+    infer_on_rect=False,
+    verbose=False,
+    specific_shape=False,
+    height=640,
+    width=640,
+):
+    """Evaluate a model; mirrors reference tools/eval.py:run (:88-159)."""
+    Evaler.check_task(task)
+    if task == "train":
+        save_dir = save_dir
+    else:
+        os.makedirs(save_dir, exist_ok=True)
+    Evaler.check_thres(conf_thres, iou_thres, task)
+
+    if not isinstance(data, dict):
+        data = Evaler.reload_dataset(data, task) if isinstance(data, str) else data
+
+    evaler = Evaler(
+        data, batch_size, img_size, conf_thres, iou_thres, half, save_dir,
+        shrink_size, infer_on_rect, verbose, specific_shape, height, width,
+    )
+    if model is None:
+        cfg = Config.fromfile(config)
+        model = build_model(
+            cfg, num_classes=data["nc"], deploy=True,
+            dtype=jnp.bfloat16 if half else jnp.float32,
+        )
+        variables = load_checkpoint_variables(
+            weights, model, img_size=(height, width) if specific_shape else (img_size, img_size),
+            deploy=True, training_mode=cfg.get("training_mode", "repvgg"),
+        )
+    evaler.init_model(model, variables)
+    dataloader = evaler.init_data(dataloader, task)
+    pred_result = evaler.predict_model(model, dataloader, task)
+    eval_result = evaler.eval_model(pred_result, model, dataloader, task)
+    evaler.eval_speed(task)
+    return eval_result, pred_result
+
+
+def main(args):
+    if args.reproduce_640_eval:
+        cfg = Config.fromfile(args.eval_config_file)
+        model_key = osp.splitext(osp.basename(args.config))[0]
+        eval_params = cfg.eval_params.get(model_key, cfg.eval_params["default"])
+        args.shrink_size = eval_params.get("shrink_size", args.shrink_size)
+        args.infer_on_rect = eval_params.get("infer_on_rect", args.infer_on_rect)
+        args.img_size = eval_params.get("img_size", args.img_size)
+        args.conf_thres = 0.03
+        args.iou_thres = 0.65
+    save_dir = str(increment_name(osp.join(args.save_dir, args.name)))
+    os.makedirs(save_dir, exist_ok=True)
+    run(
+        args.data, args.weights, args.config, args.batch_size, args.img_size,
+        args.conf_thres, args.iou_thres, args.task, args.half,
+        save_dir=save_dir, shrink_size=args.shrink_size,
+        infer_on_rect=args.infer_on_rect, verbose=args.verbose,
+        specific_shape=args.specific_shape, height=args.height, width=args.width,
+    )
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

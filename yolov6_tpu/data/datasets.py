@@ -1,0 +1,440 @@
+"""Dataset layer: YOLO-txt format scan/validation, train-time mosaic/mixup,
+eval-time letterbox, COCO-GT generation, and streaming inference sources
+(reference: yolov6/data/datasets.py).
+
+Host-side only — produces numpy arrays; device batching/sharding happens in
+data_load.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import os.path as osp
+import random
+from multiprocessing.pool import ThreadPool
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from yolov6_tpu.data.data_augment import (
+    augment_hsv,
+    letterbox,
+    mixup,
+    mosaic_augmentation,
+    random_affine,
+)
+from yolov6_tpu.utils.events import LOGGER
+
+IMG_FORMATS = ["bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"]
+VID_FORMATS = ["mp4", "mov", "avi", "mkv"]
+
+
+def img2label_paths(img_paths: List[str]) -> List[str]:
+    """images/xxx.jpg -> labels/xxx.txt (reference convention)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return [sb.join(p.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt" for p in img_paths]
+
+
+def get_hash(paths: List[str]) -> str:
+    return hashlib.md5("".join(sorted(paths)).encode()).hexdigest()
+
+
+class TrainValDataset:
+    """YOLO-format dataset (reference: datasets.py:54-659).
+
+    __getitem__ returns (img_rgb_hwc_uint8, labels [n,5] (cls, xywh-normalized),
+    path, shapes-or-None).
+    """
+
+    def __init__(
+        self,
+        img_dir: str,
+        img_size: int = 640,
+        batch_size: int = 16,
+        augment: bool = False,
+        hyp: Optional[dict] = None,
+        rect: bool = False,
+        check_images: bool = False,
+        check_labels: bool = False,
+        stride: int = 32,
+        pad: float = 0.0,
+        data_dict: Optional[dict] = None,
+        task: str = "train",
+        specific_shape: bool = False,
+        height: Optional[int] = None,
+        width: Optional[int] = None,
+        cache_ram: bool = False,
+    ):
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.batch_size = batch_size
+        self.augment = augment
+        self.hyp = hyp or {}
+        self.rect = rect
+        self.stride = stride
+        self.pad = pad
+        self.data_dict = data_dict or {}
+        self.task = task
+        self.specific_shape = specific_shape
+        self.target_height = height
+        self.target_width = width
+        self.cache_ram = cache_ram
+
+        self.img_paths, self.labels = self._load_annotations(img_dir, check_images, check_labels)
+        self.n = len(self.img_paths)
+        if cache_ram:
+            self.imgs: List = [None] * self.n
+            self.imgs_hw0: List = [None] * self.n
+            self.imgs_hw: List = [None] * self.n
+
+        if self.rect:
+            self._setup_rect_batches()
+        else:
+            self.batch_shapes = None
+            self.batch_indices = None
+
+        if self.task.lower() == "val" and self.data_dict.get("is_coco") is False:
+            # non-COCO datasets get an auto-generated COCO-format GT json
+            self.data_dict["anno_path"] = self.generate_coco_format_labels()
+
+    # ------------------------------------------------------------------ scan
+
+    def _scan_images(self, img_dir: str) -> List[str]:
+        img_paths = []
+        p = Path(img_dir)
+        if p.is_file():
+            with open(p) as f:
+                entries = [line.strip() for line in f if line.strip()]
+            img_paths = [e if osp.isabs(e) else str(p.parent / e) for e in entries]
+        else:
+            img_paths = sorted(
+                x for x in glob.glob(str(p / "**" / "*"), recursive=True)
+                if x.rsplit(".", 1)[-1].lower() in IMG_FORMATS
+            )
+        if not img_paths:
+            raise FileNotFoundError(f"no images found in {img_dir}")
+        return img_paths
+
+    def _load_annotations(self, img_dir, check_images, check_labels):
+        img_paths = self._scan_images(img_dir)
+        label_paths = img2label_paths(img_paths)
+
+        cache_path = osp.join(
+            osp.dirname(osp.dirname(img_paths[0])) or ".", f".{osp.basename(img_dir)}.tpu_cache.json"
+        )
+        cache_key = get_hash(img_paths + label_paths)
+        cached = None
+        if osp.exists(cache_path):
+            try:
+                with open(cache_path) as f:
+                    data = json.load(f)
+                if data.get("hash") == cache_key:
+                    cached = data["labels"]
+            except Exception:
+                cached = None
+
+        if cached is None:
+            def parse(args):
+                img_path, lb_path = args
+                if check_images:
+                    try:
+                        im = cv2.imread(img_path)
+                        assert im is not None
+                    except Exception:
+                        return None
+                if not osp.exists(lb_path):
+                    return img_path, []
+                try:
+                    rows = []
+                    with open(lb_path) as f:
+                        for line in f:
+                            vals = line.split()
+                            if len(vals) != 5:
+                                continue
+                            rows.append([float(v) for v in vals])
+                    if check_labels and rows:
+                        arr = np.array(rows)
+                        assert (arr >= 0).all() and (arr[:, 1:] <= 1).all(), "label out of range"
+                    return img_path, rows
+                except Exception as e:
+                    LOGGER.warning(f"skipping {lb_path}: {e}")
+                    return img_path, []
+
+            with ThreadPool(8) as pool:
+                results = pool.map(parse, zip(img_paths, label_paths))
+            results = [r for r in results if r is not None]
+            cached = {p: rows for p, rows in results}
+            try:
+                with open(cache_path, "w") as f:
+                    json.dump({"hash": cache_key, "labels": cached}, f)
+            except OSError:
+                pass
+
+        paths = [p for p in img_paths if p in cached]
+        labels = [np.array(cached[p], np.float32).reshape(-1, 5) for p in paths]
+        return paths, labels
+
+    # ------------------------------------------------------------ rect mode
+
+    def _setup_rect_batches(self):
+        """Aspect-ratio bucketing for rect eval (reference: datasets.py:497-522)."""
+        shapes = []
+        for p in self.img_paths:
+            im = cv2.imread(p)
+            shapes.append((im.shape[1], im.shape[0]))  # (w, h)
+        shapes = np.array(shapes, float)
+        ar = shapes[:, 1] / shapes[:, 0]  # h / w
+        order = np.argsort(ar)
+        self.img_paths = [self.img_paths[i] for i in order]
+        self.labels = [self.labels[i] for i in order]
+        ar = ar[order]
+
+        n_batches = int(np.ceil(self.n / self.batch_size))
+        self.batch_indices = np.floor(np.arange(self.n) / self.batch_size).astype(int)
+        batch_shapes = []
+        for b in range(n_batches):
+            ari = ar[self.batch_indices == b]
+            mini, maxi = ari.min(), ari.max()
+            shape = [1, 1]
+            if maxi < 1:
+                shape = [maxi, 1]
+            elif mini > 1:
+                shape = [1, 1 / mini]
+            batch_shapes.append(
+                np.ceil(np.array(shape) * self.img_size / self.stride + self.pad).astype(int)
+                * self.stride
+            )
+        self.batch_shapes = batch_shapes
+
+    # ------------------------------------------------------------- get item
+
+    def __len__(self):
+        return self.n
+
+    def load_image(self, index, shrink_size: Optional[int] = None):
+        """Ratio-keeping pre-resize (reference: datasets.py:257-295)."""
+        if self.cache_ram and self.imgs[index] is not None:
+            return self.imgs[index], self.imgs_hw0[index], self.imgs_hw[index]
+        path = self.img_paths[index]
+        im = cv2.imread(path)
+        if im is None:
+            from PIL import Image
+
+            im = cv2.cvtColor(np.asarray(Image.open(path)), cv2.COLOR_RGB2BGR)
+        h0, w0 = im.shape[:2]
+        if self.specific_shape:
+            ratio = min(self.target_width / w0, self.target_height / h0)
+        elif shrink_size:
+            ratio = (self.img_size - shrink_size) / max(h0, w0)
+        else:
+            ratio = self.img_size / max(h0, w0)
+        if ratio != 1:
+            im = cv2.resize(
+                im,
+                (int(w0 * ratio), int(h0 * ratio)),
+                interpolation=cv2.INTER_AREA if ratio < 1 and not self.augment else cv2.INTER_LINEAR,
+            )
+        if self.cache_ram:
+            self.imgs[index], self.imgs_hw0[index], self.imgs_hw[index] = im, (h0, w0), im.shape[:2]
+        return im, (h0, w0), im.shape[:2]
+
+    def get_mosaic(self, index, shape):
+        indices = [index] + random.choices(range(self.n), k=3)
+        random.shuffle(indices)
+        imgs, hs, ws, labels = [], [], [], []
+        for i in indices:
+            img, _, (h, w) = self.load_image(i)
+            imgs.append(img)
+            hs.append(h)
+            ws.append(w)
+            labels.append(self.labels[i])
+        return mosaic_augmentation(
+            shape, imgs, hs, ws, labels, self.hyp,
+            specific_shape=self.specific_shape,
+            target_height=self.target_height or self.img_size,
+            target_width=self.target_width or self.img_size,
+        )
+
+    def general_augment(self, img, labels):
+        """HSV + flips on normalized labels (reference: datasets.py general_augment)."""
+        nl = len(labels)
+        augment_hsv(img, self.hyp.get("hsv_h", 0.015), self.hyp.get("hsv_s", 0.7), self.hyp.get("hsv_v", 0.4))
+        if random.random() < self.hyp.get("flipud", 0.0):
+            img = np.flipud(img)
+            if nl:
+                labels[:, 2] = 1 - labels[:, 2]
+        if random.random() < self.hyp.get("fliplr", 0.5):
+            img = np.fliplr(img)
+            if nl:
+                labels[:, 1] = 1 - labels[:, 1]
+        return np.ascontiguousarray(img), labels
+
+    def __getitem__(self, index):
+        target_shape = (
+            (self.target_height, self.target_width) if self.specific_shape
+            else self.batch_shapes[self.batch_indices[index]] if self.rect
+            else self.img_size
+        )
+
+        if self.augment and random.random() < self.hyp.get("mosaic", 0.0):
+            img, labels = self.get_mosaic(index, target_shape)
+            shapes = None
+            if random.random() < self.hyp.get("mixup", 0.0):
+                img_other, labels_other = self.get_mosaic(
+                    random.randint(0, self.n - 1), target_shape
+                )
+                img, labels = mixup(img, labels, img_other, labels_other)
+        else:
+            shrink = self.hyp.get("shrink_size") if self.hyp else None
+            img, (h0, w0), (h, w) = self.load_image(index, shrink)
+            img, ratio, pad = letterbox(img, target_shape, auto=False, scaleup=self.augment)
+            shapes = (h0, w0), ((h * ratio / h0, w * ratio / w0), pad)
+
+            labels = self.labels[index].copy()
+            if labels.size:
+                w_r, h_r = w * ratio, h * ratio
+                boxes = np.copy(labels[:, 1:])
+                boxes[:, 0] = w_r * (labels[:, 1] - labels[:, 3] / 2) + pad[0]
+                boxes[:, 1] = h_r * (labels[:, 2] - labels[:, 4] / 2) + pad[1]
+                boxes[:, 2] = w_r * (labels[:, 1] + labels[:, 3] / 2) + pad[0]
+                boxes[:, 3] = h_r * (labels[:, 2] + labels[:, 4] / 2) + pad[1]
+                labels[:, 1:] = boxes
+
+            if self.augment:
+                img, labels = random_affine(
+                    img, labels,
+                    degrees=self.hyp.get("degrees", 0.0),
+                    translate=self.hyp.get("translate", 0.1),
+                    scale=self.hyp.get("scale", 0.5),
+                    shear=self.hyp.get("shear", 0.0),
+                    new_shape=target_shape,
+                )
+
+        if len(labels):
+            h, w = img.shape[:2]
+            labels[:, [1, 3]] = labels[:, [1, 3]].clip(0, w - 1e-3)
+            labels[:, [2, 4]] = labels[:, [2, 4]].clip(0, h - 1e-3)
+            boxes = np.copy(labels[:, 1:])
+            boxes[:, 0] = ((labels[:, 1] + labels[:, 3]) / 2) / w
+            boxes[:, 1] = ((labels[:, 2] + labels[:, 4]) / 2) / h
+            boxes[:, 2] = (labels[:, 3] - labels[:, 1]) / w
+            boxes[:, 3] = (labels[:, 4] - labels[:, 2]) / h
+            labels[:, 1:] = boxes
+
+        if self.augment:
+            img, labels = self.general_augment(img, labels)
+
+        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, keep HWC
+        return img, labels.astype(np.float32), self.img_paths[index], shapes
+
+    # --------------------------------------------------------- COCO GT json
+
+    def generate_coco_format_labels(self) -> str:
+        """Emit a COCO-format GT json for non-COCO datasets
+        (reference: datasets.py:599-652)."""
+        class_names = self.data_dict.get("names", [])
+        out = {"info": {"description": "auto-generated by yolov6_tpu"}, "images": [],
+               "annotations": [], "categories": []}
+        for i, name in enumerate(class_names):
+            out["categories"].append({"id": i, "name": str(name), "supercategory": str(name)})
+        ann_id = 0
+        save_path = osp.join(
+            osp.dirname(osp.dirname(self.img_paths[0])) or ".",
+            f".{osp.basename(str(self.img_dir))}_coco_gt.json",
+        )
+        for idx, (path, labels) in enumerate(zip(self.img_paths, self.labels)):
+            im = cv2.imread(path)
+            h, w = im.shape[:2]
+            img_id = osp.splitext(osp.basename(path))[0]
+            img_id = int(img_id) if img_id.isnumeric() else img_id
+            out["images"].append(
+                {"id": img_id, "file_name": osp.basename(path), "width": w, "height": h}
+            )
+            for cls, xc, yc, bw, bh in labels.tolist():
+                x1 = (xc - bw / 2) * w
+                y1 = (yc - bh / 2) * h
+                out["annotations"].append(
+                    {
+                        "id": ann_id, "image_id": img_id, "category_id": int(cls),
+                        "bbox": [x1, y1, bw * w, bh * h], "area": bw * w * bh * h,
+                        "iscrowd": 0, "segmentation": [],
+                    }
+                )
+                ann_id += 1
+        with open(save_path, "w") as f:
+            json.dump(out, f)
+        LOGGER.info(f"COCO-format GT labels saved to {save_path}")
+        return save_path
+
+
+class LoadData:
+    """Streaming source for inference: image/video files or webcam
+    (reference: datasets.py:662-726)."""
+
+    def __init__(self, path: str, webcam: bool = False, webcam_addr: str = "0"):
+        self.webcam = webcam
+        self.webcam_addr = webcam_addr
+        if webcam:
+            imgp, vidp = [], []
+            self.nf = 1
+        else:
+            p = str(Path(path).resolve())
+            if os.path.isdir(p):
+                files = sorted(glob.glob(os.path.join(p, "**", "*.*"), recursive=True))
+            elif os.path.isfile(p):
+                files = [p]
+            else:
+                raise FileNotFoundError(f"Invalid path {p}")
+            imgp = [f for f in files if f.split(".")[-1].lower() in IMG_FORMATS]
+            vidp = [f for f in files if f.split(".")[-1].lower() in VID_FORMATS]
+            self.nf = len(imgp) + len(vidp)
+        self.files = imgp + vidp
+        self.type = "image"
+        self.cap = None
+        if webcam:
+            self.type = "video"
+            self.cap = cv2.VideoCapture(int(webcam_addr) if webcam_addr.isdigit() else webcam_addr)
+            self.files = [webcam_addr]
+
+    @staticmethod
+    def checkext(path):
+        return "video" if path.split(".")[-1].lower() in VID_FORMATS else "image"
+
+    def __iter__(self):
+        self.count = 0
+        return self
+
+    def __next__(self):
+        if self.count == self.nf:
+            raise StopIteration
+        path = self.files[self.count]
+        if self.webcam:
+            ret_val, img = self.cap.read()
+            if not ret_val:
+                raise StopIteration
+            return img, path, self.cap
+        if self.checkext(path) == "video":
+            self.type = "video"
+            if self.cap is None or not self.cap.isOpened():
+                self.cap = cv2.VideoCapture(path)
+            ret_val, img = self.cap.read()
+            while not ret_val:
+                self.count += 1
+                self.cap.release()
+                if self.count == self.nf:
+                    raise StopIteration
+                path = self.files[self.count]
+                self.cap = cv2.VideoCapture(path)
+                ret_val, img = self.cap.read()
+        else:
+            self.count += 1
+            img = cv2.imread(path)
+        return img, path, self.cap
+
+    def __len__(self):
+        return self.nf
