@@ -1,0 +1,87 @@
+"""Shared assigner ops as fixed-shape jnp functions
+(reference: yolov6/assigners/assigner_utils.py).
+
+All masking is arithmetic (no boolean gathers), so every op jit-compiles to
+static shapes on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def dist_calculator(gt_bboxes: jnp.ndarray, anchor_bboxes: jnp.ndarray):
+    """Center distances between [G,4] gts and [A,4] anchors -> ([G,A], [A,2])
+    (reference: assigner_utils.py:4-23)."""
+    gt_points = jnp.stack(
+        [(gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2.0, (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2.0], 1
+    )
+    ac_points = jnp.stack(
+        [(anchor_bboxes[:, 0] + anchor_bboxes[:, 2]) / 2.0,
+         (anchor_bboxes[:, 1] + anchor_bboxes[:, 3]) / 2.0], 1
+    )
+    distances = jnp.sqrt(
+        jnp.sum((gt_points[:, None, :] - ac_points[None, :, :]) ** 2, -1)
+    )
+    return distances, ac_points
+
+
+def select_candidates_in_gts(xy_centers: jnp.ndarray, gt_bboxes: jnp.ndarray, eps: float = 1e-9):
+    """[A,2] centers inside [bs,M,4] gt boxes -> [bs,M,A] float mask
+    (reference: assigner_utils.py:25-44)."""
+    lt = xy_centers[None, None, :, :] - gt_bboxes[:, :, None, 0:2]
+    rb = gt_bboxes[:, :, None, 2:4] - xy_centers[None, None, :, :]
+    deltas = jnp.concatenate([lt, rb], axis=-1)
+    return (jnp.min(deltas, axis=-1) > eps).astype(gt_bboxes.dtype)
+
+
+def select_highest_overlaps(mask_pos: jnp.ndarray, overlaps: jnp.ndarray, n_max_boxes: int):
+    """Dedup anchors claimed by multiple gts via highest IoU
+    (reference: assigner_utils.py:46-67). Shapes [bs,M,A] -> idx [bs,A], fg [bs,A]."""
+    fg_mask = mask_pos.sum(axis=-2)
+    mask_multi_gts = (fg_mask[:, None, :] > 1)
+    max_overlaps_idx = jnp.argmax(overlaps, axis=1)
+    is_max_overlaps = jax.nn.one_hot(max_overlaps_idx, n_max_boxes, dtype=overlaps.dtype)
+    is_max_overlaps = jnp.swapaxes(is_max_overlaps, 1, 2)
+    mask_pos = jnp.where(mask_multi_gts, is_max_overlaps, mask_pos)
+    fg_mask = mask_pos.sum(axis=-2)
+    target_gt_idx = jnp.argmax(mask_pos, axis=-2)
+    return target_gt_idx, fg_mask, mask_pos
+
+
+def iou_calculator(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = 1e-9):
+    """Batched pairwise IoU [bs,M,4] x [bs,A,4] -> [bs,M,A]
+    (reference: assigner_utils.py:69-89)."""
+    px1y1, px2y2 = box1[:, :, None, 0:2], box1[:, :, None, 2:4]
+    gx1y1, gx2y2 = box2[:, None, :, 0:2], box2[:, None, :, 2:4]
+    x1y1 = jnp.maximum(px1y1, gx1y1)
+    x2y2 = jnp.minimum(px2y2, gx2y2)
+    overlap = jnp.prod(jnp.clip(x2y2 - x1y1, 0, None), -1)
+    area1 = jnp.prod(jnp.clip(px2y2 - px1y1, 0, None), -1)
+    area2 = jnp.prod(jnp.clip(gx2y2 - gx1y1, 0, None), -1)
+    union = area1 + area2 - overlap + eps
+    return overlap / union
+
+
+def scatter_topk_mask(metrics: jnp.ndarray, topk: int, topk_mask: jnp.ndarray):
+    """topk along the last axis -> membership mask, duplicates zeroed
+    (reference: tal_assigner.py:135-150, but via scatter-add instead of a
+    [.., topk, A] one-hot blow-up).
+
+    metrics: [bs, M, A]; topk_mask: [bs, M, 1] bool (valid gt rows).
+    Returns float mask [bs, M, A].
+    """
+    bs, M, A = metrics.shape
+    _, topk_idxs = jax.lax.top_k(metrics, topk)  # [bs, M, topk]
+    topk_idxs = jnp.where(topk_mask.astype(bool), topk_idxs, 0)
+    counts = jnp.zeros((bs, M, A), jnp.int32)
+    b_idx = jnp.arange(bs)[:, None, None]
+    m_idx = jnp.arange(M)[None, :, None]
+    counts = counts.at[
+        jnp.broadcast_to(b_idx, topk_idxs.shape),
+        jnp.broadcast_to(m_idx, topk_idxs.shape),
+        topk_idxs,
+    ].add(1)
+    is_in_topk = jnp.where(counts > 1, 0, counts)
+    return is_in_topk.astype(metrics.dtype)
