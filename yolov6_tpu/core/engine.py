@@ -1,0 +1,350 @@
+"""Trainer: the full training state machine (reference: yolov6/core/engine.py).
+
+Orchestration (epoch loop, eval cadence, checkpointing, strong-aug shutoff,
+resume) stays on the host; everything per-batch runs inside the jitted train
+step (core/train_step.py). Data parallelism is a 1-D mesh (parallel/mesh.py);
+rank-0 concepts map to jax.process_index()==0.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov6_tpu.core.train_step import TrainState, create_train_state, make_train_step
+from yolov6_tpu.data.data_load import create_dataloader
+from yolov6_tpu.losses.loss import ComputeLoss
+from yolov6_tpu.models.yolo import build_model
+from yolov6_tpu.parallel import mesh as pmesh
+from yolov6_tpu.solver.build import build_param_groups, scale_hyperparams_for_batch
+from yolov6_tpu.utils.checkpoint import (
+    load_checkpoint_variables,
+    load_native_checkpoint,
+    save_checkpoint,
+    strip_optimizer,
+)
+from yolov6_tpu.utils.config import Config
+from yolov6_tpu.utils.events import LOGGER, load_yaml, write_tblog
+from yolov6_tpu.utils.torch_import import import_checkpoint
+
+
+class Trainer:
+    def __init__(self, args, cfg, mesh=None):
+        self.args = args
+        self.cfg = cfg
+        self.max_epoch = args.epochs
+        self.save_dir = args.save_dir
+        self.main_process = jax.process_index() == 0
+
+        self.data_dict = load_yaml(args.data_path)
+        self.num_classes = self.data_dict["nc"]
+        self.img_size = args.img_size
+        self.batch_size = args.batch_size
+
+        self.mesh = mesh or pmesh.create_mesh()
+        self.distill_ns = bool(
+            args.distill and cfg.model.type in ("YOLOv6n", "YOLOv6s")
+        )
+
+        # ---- model
+        self.model = build_model(
+            cfg, self.num_classes, fuse_ab=args.fuse_ab, distill_ns=self.distill_ns,
+            deploy=False,
+        )
+        rng = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
+        variables = self.model.init(
+            rng, jnp.zeros((1, self.img_size, self.img_size, 3)), train=False
+        )
+        variables = {k: dict(v) for k, v in variables.items()}
+
+        pretrained = cfg.model.get("pretrained")
+        if pretrained:
+            LOGGER.info(f"Loading state_dict from {pretrained} for fine-tuning...")
+            loaded = load_checkpoint_variables(
+                pretrained, self.model, img_size=(self.img_size, self.img_size),
+                deploy=False, training_mode=cfg.get("training_mode", "repvgg"),
+            )
+            from yolov6_tpu.utils.checkpoint import load_state_dict_partial
+
+            merged = load_state_dict_partial(loaded, variables)
+            import flax
+
+            flat_m = flax.traverse_util.flatten_dict(merged)
+            flat_v = flax.traverse_util.flatten_dict(variables)
+            for k, v in flat_m.items():
+                if v is not None:
+                    flat_v[k] = v
+            variables = flax.traverse_util.unflatten_dict(flat_v)
+
+        # ---- teacher for distillation
+        self.teacher = None
+        if args.distill:
+            if args.fuse_ab:
+                raise ValueError("Distill models should turn off fuse_ab")
+            t_fuse_ab = cfg.model.head.num_layers == 3
+            teacher_model = build_model(cfg, self.num_classes, fuse_ab=t_fuse_ab, deploy=False)
+            t_vars = load_checkpoint_variables(
+                args.teacher_model_path, teacher_model,
+                img_size=(self.img_size, self.img_size), deploy=False,
+                training_mode=cfg.get("training_mode", "repvgg"),
+            )
+            self.teacher = (teacher_model, t_vars)
+
+        # ---- loaders
+        self.train_loader, self.val_loader = self.get_data_loader(args, cfg, self.data_dict)
+        self.max_stepnum = len(self.train_loader)
+
+        # ---- solver
+        self.solver_cfg = scale_hyperparams_for_batch(
+            dict(cfg.solver), self.batch_size,
+            world_batch=getattr(args, "bs_per_device", None)
+            and args.bs_per_device * jax.device_count(),
+        )
+        self.solver_cfg.setdefault("lr_scheduler", cfg.solver.get("lr_scheduler", "Cosine"))
+        self.warmup_stepnum = (
+            max(round(self.solver_cfg["warmup_epochs"] * self.max_stepnum), 1000)
+            if not args.quant else 0
+        )
+
+        self.losses = self._build_losses(cfg)
+        group_ids = build_param_groups(variables["params"])
+        self.train_step = make_train_step(
+            self.model,
+            self.losses["main"],
+            group_ids,
+            self.solver_cfg,
+            max_stepnum=self.max_stepnum,
+            epochs=self.max_epoch,
+            batch_size=self.batch_size,
+            warmup_stepnum=self.warmup_stepnum,
+            img_size=(self.img_size, self.img_size),
+            compute_loss_ab=self.losses.get("ab"),
+            teacher=self._make_teacher_triple(),
+        )
+
+        self.state = create_train_state(variables)
+        self.start_epoch = 0
+        self.best_ap = 0.0
+        self.best_stop_strong_aug_ap = 0.0
+        self.evaluate_results = (0.0, 0.0)
+
+        # ---- resume (reference: engine.py:78-89)
+        if args.resume:
+            ckpt = load_native_checkpoint(args.resume)
+            self.state = jax.tree_util.tree_map(jnp.asarray, TrainState(**ckpt["train_state"]))
+            self.start_epoch = int(ckpt["epoch"]) + 1
+            self.evaluate_results = tuple(ckpt.get("results", (0.0, 0.0)))
+            self.best_ap = self.evaluate_results[1]
+            self.best_stop_strong_aug_ap = self.evaluate_results[1]
+            if self.start_epoch > (self.max_epoch - args.stop_aug_last_n_epoch):
+                self.cfg.data_aug.mosaic = 0.0
+                self.cfg.data_aug.mixup = 0.0
+
+        self.state = pmesh.replicate_state(self.mesh, self.state)
+
+        self.tblogger = None
+        if self.main_process and not getattr(args, "no_tensorboard", False):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tblogger = SummaryWriter(self.save_dir)
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------- builders
+
+    def _build_losses(self, cfg):
+        head = cfg.model.head
+        losses = {
+            "main": ComputeLoss(
+                fpn_strides=tuple(head.strides),
+                num_classes=self.num_classes,
+                ori_img_size=self.img_size,
+                warmup_epoch=head.get("atss_warmup_epoch", 4),
+                use_dfl=head.use_dfl,
+                reg_max=head.reg_max,
+                iou_type=head.iou_type,
+            )
+        }
+        if self.args.fuse_ab:
+            from yolov6_tpu.losses.loss_fuseab import ComputeLossAB
+
+            losses["ab"] = ComputeLossAB(
+                fpn_strides=tuple(head.strides),
+                num_classes=self.num_classes,
+                ori_img_size=self.img_size,
+                iou_type=head.iou_type,
+                anchors_init=tuple(map(tuple, head.anchors_init)),
+            )
+        if self.args.distill:
+            if self.distill_ns:
+                from yolov6_tpu.losses.loss_distill_ns import ComputeLossDistillNS as LossD
+            else:
+                from yolov6_tpu.losses.loss_distill import ComputeLossDistill as LossD
+
+            losses["distill"] = LossD(
+                fpn_strides=tuple(head.strides),
+                num_classes=self.num_classes,
+                ori_img_size=self.img_size,
+                warmup_epoch=head.get("atss_warmup_epoch", 4),
+                use_dfl=head.use_dfl,
+                reg_max=head.reg_max,
+                iou_type=head.iou_type,
+                distill_weight=dict(head.distill_weight),
+                distill_feat=self.args.distill_feat,
+                max_epoch=self.max_epoch,
+                temperature=self.args.temperature,
+            )
+        return losses
+
+    def _make_teacher_triple(self):
+        if self.teacher is None:
+            return None
+        teacher_model, t_vars = self.teacher
+        return (teacher_model, t_vars, self.losses["distill"])
+
+    def get_data_loader(self, args, cfg, data_dict):
+        """(reference: engine.py:378-404)"""
+        train_path, val_path = data_dict["train"], data_dict["val"]
+        shard_id, num_shards = pmesh.process_shard_info()
+        train_loader, _ = create_dataloader(
+            train_path, args.img_size, self.batch_size // num_shards,
+            hyp=dict(cfg.data_aug), augment=True, data_dict=data_dict, task="train",
+            num_workers=args.workers, shuffle=True,
+            check_images=args.check_images, check_labels=args.check_labels,
+            specific_shape=args.specific_shape, height=args.height, width=args.width,
+            cache_ram=args.cache_ram, max_labels=args.max_labels,
+            shard_id=shard_id, num_shards=num_shards,
+        )
+        val_loader = None
+        if self.main_process:
+            val_loader, _ = create_dataloader(
+                val_path, args.img_size, self.batch_size, hyp={},
+                data_dict=data_dict, task="val", num_workers=args.workers,
+            )
+        return train_loader, val_loader
+
+    # ---------------------------------------------------------------- train
+
+    def train(self):
+        try:
+            self.before_train_loop()
+            for self.epoch in range(self.start_epoch, self.max_epoch):
+                self.before_epoch()
+                self.train_one_epoch(self.epoch)
+                self.after_epoch()
+            self.strip_model()
+        except Exception:
+            LOGGER.error("ERROR in training loop or eval/save model.")
+            raise
+
+    def before_train_loop(self):
+        LOGGER.info("Training start...")
+        self.start_time = time.time()
+
+    def before_epoch(self):
+        """Strong-aug shutoff tail (reference: engine.py:324-330)."""
+        if self.epoch == self.max_epoch - self.args.stop_aug_last_n_epoch:
+            self.cfg.data_aug.mosaic = 0.0
+            self.cfg.data_aug.mixup = 0.0
+            self.train_loader, self.val_loader = self.get_data_loader(
+                self.args, self.cfg, self.data_dict
+            )
+        self.train_loader.set_epoch(self.epoch)
+        self.mean_loss = None
+
+    def train_one_epoch(self, epoch_num):
+        use_atss = epoch_num < self.losses["main"].warmup_epoch
+        epoch_arr = jnp.asarray(epoch_num, jnp.float32)
+        for step, (imgs, labels, paths, shapes, n_valid) in enumerate(self.train_loader):
+            batch = pmesh.shard_batch(self.mesh, (jnp.asarray(imgs), jnp.asarray(labels)))
+            self.state, loss, components = self.train_step(
+                self.state, batch[0], batch[1], epoch_arr, use_atss=use_atss
+            )
+            comp = np.asarray(components)
+            self.mean_loss = (
+                comp if self.mean_loss is None
+                else (self.mean_loss * step + comp) / (step + 1)
+            )
+            if step % getattr(self.args, "log_interval", 50) == 0:
+                LOGGER.info(
+                    f"epoch {epoch_num}/{self.max_epoch - 1} step {step}/{self.max_stepnum} "
+                    f"iou/dfl/cls: " + "/".join(f"{v:.4g}" for v in self.mean_loss[:3])
+                )
+
+    def after_epoch(self):
+        """eval cadence + checkpointing (reference: engine.py:178-220)."""
+        if not self.main_process:
+            return
+        remaining_epochs = self.max_epoch - 1 - self.epoch
+        eval_interval = (
+            self.args.eval_interval
+            if remaining_epochs >= self.args.heavy_eval_range
+            else min(3, self.args.eval_interval)
+        )
+        is_val_epoch = (remaining_epochs == 0) or (
+            not self.args.eval_final_only and (self.epoch + 1) % eval_interval == 0
+        )
+        self.ap = self.evaluate_results[1]
+        if is_val_epoch and self.val_loader is not None:
+            self.eval_model()
+            self.ap = self.evaluate_results[1]
+            self.best_ap = max(self.ap, self.best_ap)
+
+        state_host = jax.device_get(self.state)
+        ckpt = {
+            "train_state": state_host._asdict(),
+            "model": {"params": state_host.params, "batch_stats": state_host.batch_stats},
+            "ema": {"params": state_host.ema_params, "batch_stats": state_host.ema_batch_stats},
+            "epoch": self.epoch,
+            "results": tuple(self.evaluate_results),
+        }
+        save_ckpt_dir = osp.join(self.save_dir, "weights")
+        save_checkpoint(
+            ckpt, is_val_epoch and (self.ap == self.best_ap), save_ckpt_dir, "last_ckpt"
+        )
+        if self.epoch >= self.max_epoch - self.args.save_ckpt_on_last_n_epoch:
+            save_checkpoint(ckpt, False, save_ckpt_dir, f"{self.epoch}_ckpt")
+        if self.epoch >= self.max_epoch - self.args.stop_aug_last_n_epoch:
+            if self.best_stop_strong_aug_ap < self.ap:
+                self.best_stop_strong_aug_ap = max(self.ap, self.best_stop_strong_aug_ap)
+                save_checkpoint(ckpt, False, save_ckpt_dir, "best_stop_aug_ckpt")
+
+        if self.tblogger and self.mean_loss is not None:
+            lr = float(self.solver_cfg["lr0"])
+            write_tblog(
+                self.tblogger, self.epoch, self.evaluate_results,
+                [lr, lr, lr], list(self.mean_loss[:3]),
+            )
+
+    def eval_model(self):
+        """In-training eval on the EMA weights (reference: engine.py:222-269)."""
+        from yolov6_tpu.core.evaler import Evaler
+
+        ema_variables = {"params": self.state.ema_params}
+        if self.state.ema_batch_stats:
+            ema_variables["batch_stats"] = self.state.ema_batch_stats
+        evaler = Evaler(
+            self.data_dict, batch_size=self.batch_size, img_size=self.img_size,
+            conf_thres=0.03, iou_thres=0.65, save_dir=self.save_dir,
+        )
+        evaler.init_model(self.model, ema_variables)
+        preds = evaler.predict_model(self.model, self.val_loader, task="train")
+        results = evaler.eval_model(preds, self.model, self.val_loader, task="train")
+        LOGGER.info(
+            f"Epoch: {self.epoch} | mAP@0.5: {results[0]} | mAP@0.50:0.95: {results[1]}"
+        )
+        self.evaluate_results = results[:2]
+
+    def strip_model(self):
+        if self.main_process:
+            LOGGER.info(
+                f"\nTraining completed in {(time.time() - self.start_time) / 3600:.3f} hours."
+            )
+            strip_optimizer(osp.join(self.save_dir, "weights"), self.epoch)

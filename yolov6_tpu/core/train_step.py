@@ -105,11 +105,15 @@ def make_train_step(
                     epoch, h, w, use_atss,
                 )
             elif compute_loss_ab is not None:
-                cls_af, reg_af = flatten_head_outputs(head_out["af"], model.num_classes)
+                from yolov6_tpu.models.heads.effidehead_fuseab import flatten_ab_outputs
+
+                cls_af, reg_af = flatten_head_outputs(head_out, model.num_classes)
                 loss_af, comp_af = compute_loss(
                     feats_hw, cls_af, reg_af, targets, h, w, use_atss
                 )
-                cls_ab, reg_ab = flatten_head_outputs(head_out["ab"], model.num_classes)
+                cls_ab, reg_ab = flatten_ab_outputs(
+                    head_out, model.detect.anchors_init, model.strides
+                )
                 loss_ab, comp_ab = compute_loss_ab(
                     feats_hw, cls_ab, reg_ab, targets, h, w, False
                 )

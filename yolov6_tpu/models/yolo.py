@@ -132,6 +132,11 @@ def build_network(
             num_classes=num_classes, num_layers=num_layers, use_dfl=use_dfl,
             reg_max=reg_max, deploy=deploy, dtype=dtype,
         )
+        # the deployed branch is plain ltrb — decode must not run DFL
+        return Model(
+            backbone=backbone, neck=neck, detect=head,
+            num_classes=num_classes, use_dfl=False, reg_max=0,
+        )
     elif fuse_ab:
         from yolov6_tpu.models.heads.effidehead_fuseab import DetectFuseAB
 
