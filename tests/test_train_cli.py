@@ -1,0 +1,80 @@
+"""End-to-end training smoke: tools/train.py main() on a tiny synthetic
+dataset for 3 epochs incl. eval + checkpointing + strong-aug shutoff."""
+
+import json
+import os
+import os.path as osp
+import sys
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+import conftest
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tinyds")
+    rng = np.random.default_rng(0)
+    names = ["a", "b", "c"]
+    for split, n in (("train", 16), ("val", 4)):
+        img_dir = root / "images" / split
+        lb_dir = root / "labels" / split
+        img_dir.mkdir(parents=True)
+        lb_dir.mkdir(parents=True)
+        for i in range(n):
+            h, w = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            cv2.imwrite(str(img_dir / f"{split}{i:03d}.jpg"), img)
+            rows = []
+            for _ in range(int(rng.integers(1, 4))):
+                bw, bh = rng.uniform(0.2, 0.5), rng.uniform(0.2, 0.5)
+                cx = rng.uniform(bw / 2, 1 - bw / 2)
+                cy = rng.uniform(bh / 2, 1 - bh / 2)
+                rows.append(f"{int(rng.integers(0, 3))} {cx:.4f} {cy:.4f} {bw:.4f} {bh:.4f}")
+            (lb_dir / f"{split}{i:03d}.txt").write_text("\n".join(rows) + "\n")
+    data_yaml = root / "data.yaml"
+    data_yaml.write_text(yaml.safe_dump({
+        "train": str(root / "images" / "train"),
+        "val": str(root / "images" / "val"),
+        "nc": 3, "names": names, "is_coco": False,
+    }))
+    return str(data_yaml)
+
+
+def test_train_cli_end_to_end(tiny_dataset, tmp_path):
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("train_cli", "/root/repo/tools/train.py")
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
+
+    args = train_cli.get_args_parser().parse_args([
+        "--data-path", tiny_dataset,
+        "--conf-file", "/root/repo/configs/yolov6n.py",
+        "--img-size", "64",
+        "--img-floor", "64",
+        "--batch-size", "4",
+        "--epochs", "3",
+        "--workers", "2",
+        "--eval-interval", "2",
+        "--heavy-eval-range", "0",
+        "--stop_aug_last_n_epoch", "1",
+        "--output-dir", str(tmp_path),
+        "--name", "smoke",
+        "--max-labels", "8",
+        "--log-interval", "2",
+    ])
+    train_cli.main(args)
+
+    weights_dir = osp.join(args.save_dir, "weights")
+    assert osp.exists(osp.join(weights_dir, "last_ckpt.msgpack"))
+    # final epoch always evals; stripped checkpoint retains model weights
+    from yolov6_tpu.utils.checkpoint import load_native_checkpoint
+
+    ckpt = load_native_checkpoint(osp.join(weights_dir, "last_ckpt.msgpack"))
+    assert "model" in ckpt
+    assert osp.exists(osp.join(args.save_dir, "args.yaml"))

@@ -59,6 +59,8 @@ def get_args_parser(add_help=True):
                         help="fixed per-image label padding for the jit step")
     parser.add_argument("--seed", type=int, default=1)
     parser.add_argument("--log-interval", type=int, default=50)
+    parser.add_argument("--img-floor", type=int, default=256,
+                        help="minimum training image size (reference floors at 256)")
     return parser
 
 
@@ -81,11 +83,12 @@ def check_and_init(args):
     if "training_mode" not in cfg:
         cfg.training_mode = "repvgg"
 
+    floor = getattr(args, "img_floor", 256)
     if args.specific_shape:
-        args.height = check_img_size(args.height, 32, floor=256)
-        args.width = check_img_size(args.width, 32, floor=256)
+        args.height = check_img_size(args.height, 32, floor=floor)
+        args.width = check_img_size(args.width, 32, floor=floor)
     else:
-        args.img_size = check_img_size(args.img_size, 32, floor=256)
+        args.img_size = check_img_size(args.img_size, 32, floor=floor)
 
     random.seed(args.seed)
     np.random.seed(args.seed)

@@ -47,7 +47,13 @@ class Trainer:
         self.img_size = args.img_size
         self.batch_size = args.batch_size
 
-        self.mesh = mesh or pmesh.create_mesh()
+        if mesh is None:
+            # batch must divide evenly across the data axis
+            import math as _math
+
+            n_dev = _math.gcd(args.batch_size, jax.device_count())
+            mesh = pmesh.create_mesh(n_dev)
+        self.mesh = mesh
         self.distill_ns = bool(
             args.distill and cfg.model.type in ("YOLOv6n", "YOLOv6s")
         )
@@ -112,6 +118,38 @@ class Trainer:
             if not args.quant else 0
         )
 
+        # ---- RepOpt: reinit plain convs from CSLA scales + gradient masks
+        grad_masks = None
+        if cfg.get("training_mode") == "repopt":
+            from yolov6_tpu.solver.repoptimizer import (
+                extract_scales,
+                generate_gradient_masks,
+                reinitialize,
+            )
+
+            scales_path = cfg.model.get("scales")
+            if not scales_path:
+                raise ValueError("No scales provided to init RepOptimizer!")
+            if scales_path.endswith(".pt"):
+                hs_model = build_model(cfg, self.num_classes, deploy=False)
+                # the scales ckpt is a hyper-search model; rebuild with its mode
+                hs_cfg = cfg.copy()
+                hs_cfg["training_mode"] = "hyper_search"
+                hs_model = build_model(hs_cfg, self.num_classes, deploy=False)
+                hs_vars = load_checkpoint_variables(
+                    scales_path, hs_model, img_size=(self.img_size, self.img_size),
+                    deploy=False, training_mode="hyper_search",
+                )
+            else:
+                hs_vars = load_native_checkpoint(scales_path)
+                hs_vars = hs_vars.get("ema") or hs_vars.get("model") or hs_vars
+            scales = extract_scales(hs_vars["params"])
+            if not pretrained:
+                variables["params"] = reinitialize(
+                    variables["params"], scales, jax.random.PRNGKey(0)
+                )
+            grad_masks = generate_gradient_masks(variables["params"], scales)
+
         self.losses = self._build_losses(cfg)
         group_ids = build_param_groups(variables["params"])
         self.train_step = make_train_step(
@@ -126,6 +164,7 @@ class Trainer:
             img_size=(self.img_size, self.img_size),
             compute_loss_ab=self.losses.get("ab"),
             teacher=self._make_teacher_triple(),
+            grad_masks=grad_masks,
         )
 
         self.state = create_train_state(variables)
@@ -136,8 +175,10 @@ class Trainer:
 
         # ---- resume (reference: engine.py:78-89)
         if args.resume:
+            from yolov6_tpu.core.train_step import state_from_dict
+
             ckpt = load_native_checkpoint(args.resume)
-            self.state = jax.tree_util.tree_map(jnp.asarray, TrainState(**ckpt["train_state"]))
+            self.state = jax.tree_util.tree_map(jnp.asarray, state_from_dict(ckpt["train_state"]))
             self.start_epoch = int(ckpt["epoch"]) + 1
             self.evaluate_results = tuple(ckpt.get("results", (0.0, 0.0)))
             self.best_ap = self.evaluate_results[1]
@@ -297,13 +338,15 @@ class Trainer:
             self.ap = self.evaluate_results[1]
             self.best_ap = max(self.ap, self.best_ap)
 
+        from yolov6_tpu.core.train_step import state_to_dict
+
         state_host = jax.device_get(self.state)
         ckpt = {
-            "train_state": state_host._asdict(),
+            "train_state": state_to_dict(state_host),
             "model": {"params": state_host.params, "batch_stats": state_host.batch_stats},
             "ema": {"params": state_host.ema_params, "batch_stats": state_host.ema_batch_stats},
             "epoch": self.epoch,
-            "results": tuple(self.evaluate_results),
+            "results": [float(v) for v in self.evaluate_results],
         }
         save_ckpt_dir = osp.join(self.save_dir, "weights")
         save_checkpoint(

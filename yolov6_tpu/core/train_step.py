@@ -63,6 +63,19 @@ def create_train_state(variables) -> TrainState:
     )
 
 
+def state_to_dict(state: TrainState) -> dict:
+    """Pure-dict view for msgpack checkpointing."""
+    d = state._asdict()
+    d["opt"] = {"momentum_buf": state.opt.momentum_buf}
+    return d
+
+
+def state_from_dict(d: dict) -> TrainState:
+    d = dict(d)
+    d["opt"] = SGDState(momentum_buf=d["opt"]["momentum_buf"])
+    return TrainState(**d)
+
+
 def make_train_step(
     model,
     compute_loss,
@@ -75,6 +88,7 @@ def make_train_step(
     img_size: Tuple[int, int],
     compute_loss_ab=None,
     teacher=None,
+    grad_masks=None,
 ):
     """Build the jitted train step.
 
@@ -129,6 +143,12 @@ def make_train_step(
         (loss, (components, new_batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+
+        if grad_masks is not None:
+            # RepOptimizer gradient re-parameterization (solver/repoptimizer.py)
+            from yolov6_tpu.solver.repoptimizer import apply_gradient_masks
+
+            grads = apply_gradient_masks(grads, grad_masks)
 
         grad_accum = jax.tree_util.tree_map(
             lambda a, g: a + g.astype(jnp.float32), state.grad_accum, grads
