@@ -1,0 +1,38 @@
+"""End-to-end export: StableHLO serialization round-trip with in-graph NMS."""
+
+import numpy as np
+import pytest
+
+import conftest
+
+import jax
+import jax.numpy as jnp
+
+from yolov6_tpu.models.end2end import export_stablehlo, load_exported, make_end2end_fn
+from yolov6_tpu.models.yolo import build_model
+from yolov6_tpu.utils.config import Config
+
+
+def test_end2end_export_roundtrip(tmp_path):
+    cfg = Config.fromfile("/root/repo/configs/yolov6n.py")
+    model = build_model(cfg, num_classes=8, deploy=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    serve = make_end2end_fn(
+        model, variables, conf_thres=0.005, iou_thres=0.65, max_det=20,
+        with_preprocess=True, half=False,
+    )
+    path = str(tmp_path / "model.stablehlo")
+    export_stablehlo(serve, batch=2, img_size=(64, 64), path=path, input_dtype=jnp.uint8)
+
+    art = load_exported(path)
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    num_dets, boxes, scores, classes = art.call(jnp.asarray(imgs))
+    assert num_dets.shape == (2, 1)
+    assert boxes.shape == (2, 20, 4)
+    assert scores.shape == (2, 20)
+    assert classes.shape == (2, 20)
+
+    # artifact output must match the live function
+    want = jax.jit(serve)(jnp.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(want[1]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(num_dets), np.asarray(want[0]))

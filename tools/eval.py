@@ -69,6 +69,10 @@ def run(
     shrink_size=0,
     infer_on_rect=False,
     verbose=False,
+    do_coco_metric=True,
+    do_pr_metric=False,
+    plot_curve=False,
+    plot_confusion_matrix=False,
     specific_shape=False,
     height=640,
     width=640,
@@ -87,6 +91,8 @@ def run(
     evaler = Evaler(
         data, batch_size, img_size, conf_thres, iou_thres, half, save_dir,
         shrink_size, infer_on_rect, verbose, specific_shape, height, width,
+        do_coco_metric=do_coco_metric, do_pr_metric=do_pr_metric,
+        plot_curve=plot_curve, plot_confusion_matrix=plot_confusion_matrix,
     )
     if model is None:
         cfg = Config.fromfile(config)

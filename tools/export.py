@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Export CLI: serialize an end-to-end serving graph (preproc + model +
+decode + NMS) to StableHLO (reference: deploy/ONNX/export_onnx.py, which
+exports ONNX with in-graph NMS ops)."""
+
+from __future__ import annotations
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+import jax.numpy as jnp
+
+from yolov6_tpu.models.end2end import export_stablehlo, load_exported, make_end2end_fn
+from yolov6_tpu.models.yolo import build_model
+from yolov6_tpu.utils.checkpoint import load_checkpoint_variables
+from yolov6_tpu.utils.config import Config
+from yolov6_tpu.utils.events import LOGGER
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--weights", type=str, required=True)
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--img-size", nargs="+", type=int, default=[640, 640])
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--num-classes", type=int, default=80)
+    parser.add_argument("--half", action="store_true", help="bf16 compute")
+    parser.add_argument("--end2end", action="store_true", help="include NMS in graph")
+    parser.add_argument("--with-preprocess", action="store_true",
+                        help="fold BGR->RGB + /255 into the graph")
+    parser.add_argument("--conf-thres", type=float, default=0.25)
+    parser.add_argument("--iou-thres", type=float, default=0.45)
+    parser.add_argument("--max-det", type=int, default=100)
+    parser.add_argument("--platforms", nargs="+", default=None,
+                        help="e.g. tpu cpu — multi-platform artifact")
+    parser.add_argument("--check", action="store_true", help="round-trip sanity check")
+    args = parser.parse_args()
+
+    if len(args.img_size) == 1:
+        args.img_size = args.img_size * 2
+
+    cfg = Config.fromfile(args.config)
+    model = build_model(
+        cfg, num_classes=args.num_classes, deploy=True,
+        dtype=jnp.bfloat16 if args.half else jnp.float32,
+    )
+    variables = load_checkpoint_variables(
+        args.weights, model, img_size=tuple(args.img_size), deploy=True,
+        training_mode=cfg.get("training_mode", "repvgg"),
+    )
+
+    if args.end2end:
+        serve = make_end2end_fn(
+            model, variables, args.conf_thres, args.iou_thres, args.max_det,
+            with_preprocess=args.with_preprocess, half=args.half,
+        )
+    else:
+        from yolov6_tpu.models.effidehead import decode_eval
+
+        def serve(images):
+            x = images.astype(jnp.bfloat16 if args.half else jnp.float32)
+            if args.with_preprocess:
+                x = x[..., ::-1] / 255.0
+            head_out, _ = model.apply(variables, x, train=False)
+            return decode_eval(
+                head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
+            )
+
+    output = args.output or args.weights.rsplit(".", 1)[0] + ".stablehlo"
+    t0 = time.time()
+    export_stablehlo(
+        serve, args.batch_size, tuple(args.img_size), output,
+        platforms=tuple(args.platforms) if args.platforms else None,
+        input_dtype=jnp.uint8 if args.with_preprocess else jnp.float32,
+    )
+    LOGGER.info(f"Exported to {output} in {time.time() - t0:.1f}s")
+
+    if args.check:
+        import numpy as np
+
+        art = load_exported(output)
+        dtype = np.uint8 if args.with_preprocess else np.float32
+        dummy = np.zeros((args.batch_size, *args.img_size, 3), dtype)
+        out = art.call(jnp.asarray(dummy))
+        LOGGER.info(f"Round-trip OK; outputs: {[tuple(o.shape) for o in out]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,10 @@ class Evaler:
         height: int = 640,
         width: int = 640,
         max_det: int = 300,
+        do_coco_metric: bool = True,
+        do_pr_metric: bool = False,
+        plot_curve: bool = False,
+        plot_confusion_matrix: bool = False,
     ):
         self.data = data_dict
         self.batch_size = batch_size
@@ -61,6 +65,11 @@ class Evaler:
         self.is_coco = data_dict.get("is_coco", False)
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
         self.speed_result = np.zeros(4)
+        self.do_coco_metric = do_coco_metric
+        self.do_pr_metric = do_pr_metric
+        self.plot_curve = plot_curve
+        self.plot_confusion_matrix = plot_confusion_matrix
+        self.pr_results = None
 
     # ------------------------------------------------------------ model/data
 
@@ -112,8 +121,16 @@ class Evaler:
         (reference: evaler.py:100-228)."""
         self.speed_result = np.zeros(4)
         pred_results = []
+        stats = []
+        confusion = None
+        iouv = np.linspace(0.5, 0.95, 10)
+        if self.do_pr_metric and self.plot_confusion_matrix:
+            from yolov6_tpu.utils.metrics import ConfusionMatrix
+
+            confusion = ConfusionMatrix(nc=model.num_classes)
+
         n_batches = len(dataloader)
-        for bi, (imgs, _labels, paths, shapes, n_valid) in enumerate(dataloader):
+        for bi, (imgs, labels, paths, shapes, n_valid) in enumerate(dataloader):
             t1 = time.time()
             imgs_dev = jnp.asarray(imgs)
             dets, valid = self._infer(self.variables, imgs_dev)
@@ -126,9 +143,56 @@ class Evaler:
             pred_results.extend(
                 self.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
             )
+            if self.do_pr_metric:
+                stats.extend(
+                    self._pr_stats(dets, valid, labels, imgs.shape[1:3], n_valid, iouv, confusion)
+                )
             if bi % 20 == 0:
                 LOGGER.info(f"eval batch {bi + 1}/{n_batches}")
+
+        if self.do_pr_metric and stats:
+            self._finish_pr_metric(stats, model)
         return pred_results
+
+    def _pr_stats(self, dets, valid, labels, hw, n_valid, iouv, confusion):
+        """Per-image TP stats in letterbox coords (reference: evaler.py:137-227)."""
+        from yolov6_tpu.utils.metrics import process_batch
+
+        h, w = hw
+        out = []
+        for i in range(n_valid):
+            pred = dets[i][valid[i]]
+            lb = labels[i]
+            lb = lb[lb[:, 0] >= 0]
+            gt = np.zeros((len(lb), 5), np.float32)
+            if len(lb):
+                gt[:, 0] = lb[:, 0]
+                cx, cy, bw, bh = lb[:, 1] * w, lb[:, 2] * h, lb[:, 3] * w, lb[:, 4] * h
+                gt[:, 1], gt[:, 2] = cx - bw / 2, cy - bh / 2
+                gt[:, 3], gt[:, 4] = cx + bw / 2, cy + bh / 2
+            correct = process_batch(pred, gt, iouv)
+            if confusion is not None:
+                confusion.process_batch(pred, gt)
+            out.append((correct, pred[:, 4], pred[:, 5], gt[:, 0]))
+        return out
+
+    def _finish_pr_metric(self, stats, model):
+        from yolov6_tpu.utils.metrics import ap_per_class
+
+        tp = np.concatenate([s[0] for s in stats])
+        conf = np.concatenate([s[1] for s in stats])
+        pred_cls = np.concatenate([s[2] for s in stats])
+        target_cls = np.concatenate([s[3] for s in stats])
+        if tp.size == 0:
+            self.pr_results = None
+            return
+        p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, target_cls)
+        ap50, ap_all = ap[:, 0].mean(), ap.mean()
+        LOGGER.info(
+            f"PR metric: P={p.mean():.4f} R={r.mean():.4f} F1={f1.mean():.4f} "
+            f"mAP@0.5={ap50:.4f} mAP@0.5:0.95={ap_all:.4f}"
+        )
+        self.pr_results = (float(ap50), float(ap_all))
 
     @staticmethod
     def scale_coords(coords, img0_shape, ratio_pad):
@@ -172,6 +236,8 @@ class Evaler:
 
     def eval_model(self, pred_results, model, dataloader, task: str = "val"):
         """COCO mAP via the built-in evaluator (reference: evaler.py:231-321)."""
+        if not self.do_coco_metric:
+            return self.pr_results or (0.0, 0.0)
         LOGGER.info(f"Evaluating mAP by our COCO-protocol evaluator...")
         anno_path = self.data.get(
             "anno_path",

@@ -1,0 +1,79 @@
+"""End-to-end serving graph: preprocessing + forward + decode + in-graph NMS
+(reference: yolov6/models/end2end.py, which wraps NMS as ONNX/TRT ops).
+
+TPU-native: the whole pipeline is one jittable function over fixed shapes;
+export serializes it to StableHLO via jax.export. Outputs mirror the
+reference End2End contract: (num_dets [b,1], boxes [b,max_det,4],
+scores [b,max_det], classes [b,max_det])."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from yolov6_tpu.models.effidehead import decode_eval
+from yolov6_tpu.ops.nms import non_max_suppression
+
+
+def make_end2end_fn(
+    model,
+    variables,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 100,
+    with_preprocess: bool = False,
+    half: bool = True,
+):
+    """Build the serving function over uint8/float NHWC images.
+
+    with_preprocess=True folds BGR->RGB + /255 into the graph
+    (reference end2end.py:273-275)."""
+    dtype = jnp.bfloat16 if half else jnp.float32
+
+    def serve(images):
+        x = images.astype(dtype)
+        if with_preprocess:
+            x = x[..., ::-1] / dtype(255.0)  # BGR -> RGB, normalize
+        head_out, _ = model.apply(variables, x, train=False)
+        preds = decode_eval(
+            head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
+        )
+        dets, valid = non_max_suppression(
+            preds, conf_thres, iou_thres, max_det=max_det, multi_label=False
+        )
+        num_dets = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.int32)
+        return num_dets, dets[..., :4], dets[..., 4], dets[..., 5].astype(jnp.int32)
+
+    return serve
+
+
+def export_stablehlo(
+    serve_fn,
+    batch: int,
+    img_size: Tuple[int, int],
+    path: str,
+    platforms: Optional[Tuple[str, ...]] = None,
+    input_dtype=jnp.uint8,
+):
+    """Serialize the serving function to a portable StableHLO artifact."""
+    from jax import export as jexport
+
+    spec = jax.ShapeDtypeStruct((batch, img_size[0], img_size[1], 3), input_dtype)
+    kwargs = {}
+    if platforms:
+        kwargs["platforms"] = list(platforms)
+    exported = jexport.export(jax.jit(serve_fn), **kwargs)(spec)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_exported(path: str):
+    """Deserialize an exported artifact; returns an object with .call(images)."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        return jexport.deserialize(bytearray(f.read()))

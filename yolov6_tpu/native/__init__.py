@@ -1,0 +1,117 @@
+"""ctypes bindings for the native host library (letterbox, NMS, normalize).
+
+The library builds on first use (``make -C yolov6_tpu/native``); every entry
+point has a pure-Python fallback, so the framework works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import os.path as osp
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = osp.dirname(osp.abspath(__file__))
+_LIB_PATH = osp.join(_DIR, "libyolov6_native.so")
+_lib = None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not osp.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.yolov6_letterbox.restype = ctypes.c_float
+    lib.yolov6_letterbox.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint8,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.yolov6_nms.restype = ctypes.c_int
+    lib.yolov6_nms.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p,
+    ]
+    lib.yolov6_normalize_rgb.restype = None
+    lib.yolov6_normalize_rgb.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def letterbox_native(
+    im: np.ndarray, new_shape: Tuple[int, int], scaleup: bool = True, pad_value: int = 114
+):
+    """Native letterbox; same geometry as data_augment.letterbox(auto=False).
+    Returns (image, ratio, (pad_left, pad_top))."""
+    lib = _load()
+    if lib is None:
+        from yolov6_tpu.data.data_augment import letterbox
+
+        return letterbox(im, new_shape, auto=False, scaleup=scaleup)
+    im = np.ascontiguousarray(im, np.uint8)
+    out = np.empty((new_shape[0], new_shape[1], 3), np.uint8)
+    px, py = ctypes.c_int(0), ctypes.c_int(0)
+    r = lib.yolov6_letterbox(
+        im.ctypes.data, im.shape[0], im.shape[1],
+        out.ctypes.data, new_shape[0], new_shape[1],
+        int(scaleup), pad_value, ctypes.byref(px), ctypes.byref(py),
+    )
+    return out, float(r), (px.value, py.value)
+
+
+def nms_native(
+    dets: np.ndarray, iou_thres: float = 0.45, class_agnostic: bool = False, max_det: int = 300
+) -> np.ndarray:
+    """Greedy NMS over [n, 6] (xyxy, score, cls); returns kept row indices."""
+    lib = _load()
+    dets = np.ascontiguousarray(dets, np.float32)
+    n = dets.shape[0]
+    if lib is None or n == 0:
+        order = np.argsort(-dets[:, 4], kind="stable")
+        keep = []
+        suppressed = np.zeros(n, bool)
+        for i in order:
+            if suppressed[i] or len(keep) >= max_det:
+                continue
+            keep.append(i)
+            same = np.ones(n, bool) if class_agnostic else dets[:, 5] == dets[i, 5]
+            lt = np.maximum(dets[i, :2], dets[:, :2])
+            rb = np.minimum(dets[i, 2:4], dets[:, 2:4])
+            inter = np.prod(np.clip(rb - lt, 0, None), -1)
+            a = np.prod(np.clip(dets[i, 2:4] - dets[i, :2], 0, None))
+            b = np.prod(np.clip(dets[:, 2:4] - dets[:, :2], 0, None), -1)
+            iou = inter / (a + b - inter + 1e-12)
+            suppressed |= (iou > iou_thres) & same
+        return np.asarray(keep, np.int64)
+    keep = np.empty(min(n, max_det), np.int32)
+    kept = lib.yolov6_nms(dets.ctypes.data, n, iou_thres, int(class_agnostic), max_det, keep.ctypes.data)
+    return keep[:kept].astype(np.int64)
+
+
+def normalize_rgb_native(im_bgr_u8: np.ndarray) -> np.ndarray:
+    """uint8 HWC BGR -> float32 HWC RGB /255."""
+    lib = _load()
+    im = np.ascontiguousarray(im_bgr_u8, np.uint8)
+    if lib is None:
+        return im[..., ::-1].astype(np.float32) / 255.0
+    out = np.empty(im.shape, np.float32)
+    lib.yolov6_normalize_rgb(im.ctypes.data, out.ctypes.data, im.shape[0] * im.shape[1])
+    return out
