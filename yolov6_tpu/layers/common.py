@@ -29,6 +29,42 @@ from yolov6_tpu.utils.registry import BLOCKS
 # torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == variance_scaling(1/3, fan_in, uniform)
 conv_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
+
+class QConv(nn.Conv):
+    """nn.Conv with optional INT8 input fake-quantization (quant/fake_quant.py).
+
+    With quantization disabled (default) this is byte-identical to nn.Conv —
+    same parameter names/paths, no extra collections. Under calibration it
+    records running max|input| into a 'quant' collection; with quant enabled
+    it fake-quantizes its input with the calibrated amax (the TPU-native
+    analog of the reference's pytorch-quantization QuantConv swap,
+    reference tools/qat/qat_utils.py:62-130).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        from yolov6_tpu.quant.fake_quant import fake_quant, quant_state
+
+        if quant_state.enabled:
+            skip = any(p in self.path_str for p in quant_state.skip_patterns)
+            if not skip:
+                amax = self.variable("quant", "amax", lambda: jnp.zeros((), jnp.float32))
+                if quant_state.calibrating:
+                    if not self.is_initializing():
+                        amax.value = jnp.maximum(
+                            amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32)
+                        )
+                else:
+                    x = fake_quant(x, amax.value, quant_state.num_bits)
+        return super().__call__(x)
+
+    @property
+    def path_str(self) -> str:
+        try:
+            return "/".join(str(p) for p in self.scope.path)
+        except Exception:
+            return self.name or ""
+
 ACTIVATIONS: dict[str, Callable] = {
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
@@ -60,7 +96,7 @@ class Conv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.kernel_size // 2 if self.padding is None else self.padding
-        return nn.Conv(
+        return QConv(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
@@ -112,7 +148,7 @@ class ConvModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.kernel_size // 2 if self.padding is None else self.padding
-        x = nn.Conv(
+        x = QConv(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
@@ -342,7 +378,7 @@ class RepVGGBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         assert self.kernel_size == 3 and self.padding == 1
         if self.deploy:
-            y = nn.Conv(
+            y = QConv(
                 self.out_channels,
                 (3, 3),
                 strides=(self.stride, self.stride),
@@ -392,7 +428,7 @@ class QARepVGGBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         assert self.kernel_size == 3 and self.padding == 1
         if self.deploy:
-            y = nn.Conv(
+            y = QConv(
                 self.out_channels,
                 (3, 3),
                 strides=(self.stride, self.stride),
@@ -408,7 +444,7 @@ class QARepVGGBlock(nn.Module):
         y = ConvModule(
             self.out_channels, 3, self.stride, None, 1, self.groups, False, self.dtype, name="rbr_dense"
         )(x, train)
-        y = y + nn.Conv(
+        y = y + QConv(
             self.out_channels,
             (1, 1),
             strides=(self.stride, self.stride),
@@ -444,7 +480,7 @@ class QARepVGGBlockV2(nn.Module):
     def __call__(self, x, train: bool = False):
         assert self.kernel_size == 3 and self.padding == 1
         if self.deploy:
-            y = nn.Conv(
+            y = QConv(
                 self.out_channels,
                 (3, 3),
                 strides=(self.stride, self.stride),
@@ -460,7 +496,7 @@ class QARepVGGBlockV2(nn.Module):
         y = ConvModule(
             self.out_channels, 3, self.stride, None, 1, self.groups, False, self.dtype, name="rbr_dense"
         )(x, train)
-        y = y + nn.Conv(
+        y = y + QConv(
             self.out_channels,
             (1, 1),
             strides=(self.stride, self.stride),
@@ -495,7 +531,7 @@ class RealVGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Conv(
+        y = QConv(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
@@ -550,12 +586,12 @@ class LinearAddBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
-        y = nn.Conv(
+        y = QConv(
             self.out_channels, (3, 3), strides=(self.stride, self.stride), padding=_pad(1),
             use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="conv",
         )(x)
         y = ScaleLayer(self.out_channels, False, self.conv_scale_init, self.dtype, name="scale_conv")(y)
-        y1 = nn.Conv(
+        y1 = QConv(
             self.out_channels, (1, 1), strides=(self.stride, self.stride), padding=_pad(0),
             use_bias=False, kernel_init=conv_kernel_init, dtype=self.dtype, name="conv_1x1",
         )(x)
@@ -749,10 +785,10 @@ class SEBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         w = jnp.mean(x, axis=(1, 2), keepdims=True)
-        w = nn.Conv(self.channel // self.reduction, (1, 1), use_bias=True,
+        w = QConv(self.channel // self.reduction, (1, 1), use_bias=True,
                     kernel_init=conv_kernel_init, dtype=self.dtype, name="conv1")(w)
         w = jax.nn.relu(w)
-        w = nn.Conv(self.channel, (1, 1), use_bias=True,
+        w = QConv(self.channel, (1, 1), use_bias=True,
                     kernel_init=conv_kernel_init, dtype=self.dtype, name="conv2")(w)
         return x * jax.nn.hard_sigmoid(w)
 
@@ -826,7 +862,7 @@ class DPBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = (self.kernel_size - 1) // 2
-        x = nn.Conv(
+        x = QConv(
             self.out_channels, (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride), padding=_pad(p),
             feature_group_count=self.out_channels, use_bias=True,
@@ -836,7 +872,7 @@ class DPBlock(nn.Module):
             x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                              dtype=jnp.float32, name="bn_1")(x).astype(self.dtype)
         x = jax.nn.hard_swish(x)
-        x = nn.Conv(
+        x = QConv(
             self.out_channels, (1, 1), use_bias=True,
             kernel_init=conv_kernel_init, dtype=self.dtype, name="conv_pw_1",
         )(x)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from yolov6_tpu.assigners.anchor_generator import generate_anchors
-from yolov6_tpu.layers.common import ConvBNSiLU, conv_kernel_init
+from yolov6_tpu.layers.common import ConvBNSiLU, QConv, conv_kernel_init
 from yolov6_tpu.ops.boxes import dist2bbox
 from yolov6_tpu.utils.registry import HEADS
 
@@ -59,13 +59,13 @@ class Detect(nn.Module):
             x = ConvBNSiLU(c, 1, 1, deploy=self.deploy, dtype=self.dtype, name=f"stems.{i}")(x, train)
             stem_feats.append(x)
             cls_feat = ConvBNSiLU(c, 3, 1, deploy=self.deploy, dtype=self.dtype, name=f"cls_convs.{i}")(x, train)
-            cls_out = nn.Conv(
+            cls_out = QConv(
                 self.num_classes * self.num_anchors, (1, 1), use_bias=True,
                 kernel_init=nn.initializers.zeros, bias_init=cls_bias_init,
                 dtype=self.dtype, name=f"cls_preds.{i}",
             )(cls_feat)
             reg_feat = ConvBNSiLU(c, 3, 1, deploy=self.deploy, dtype=self.dtype, name=f"reg_convs.{i}")(x, train)
-            reg_out = nn.Conv(
+            reg_out = QConv(
                 4 * (self.reg_max + self.num_anchors), (1, 1), use_bias=True,
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.ones,
                 dtype=self.dtype, name=f"reg_preds.{i}",

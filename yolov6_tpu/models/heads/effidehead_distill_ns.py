@@ -11,7 +11,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolov6_tpu.layers.common import ConvBNSiLU
+from yolov6_tpu.layers.common import ConvBNSiLU, QConv
 from yolov6_tpu.models.effidehead import cls_bias_init
 from yolov6_tpu.utils.registry import HEADS
 
@@ -42,18 +42,18 @@ class DetectDistillNS(nn.Module):
             cls_feat = ConvBNSiLU(c, 3, 1, deploy=self.deploy, dtype=self.dtype, name=f"cls_convs.{i}")(x, train)
             reg_feat = ConvBNSiLU(c, 3, 1, deploy=self.deploy, dtype=self.dtype, name=f"reg_convs.{i}")(x, train)
             cls_outputs.append(
-                nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                QConv(self.num_classes, (1, 1), use_bias=True,
                         kernel_init=nn.initializers.zeros, bias_init=cls_bias_init,
                         dtype=self.dtype, name=f"cls_preds.{i}")(cls_feat)
             )
             reg_outputs.append(
-                nn.Conv(4, (1, 1), use_bias=True,
+                QConv(4, (1, 1), use_bias=True,
                         kernel_init=nn.initializers.zeros, bias_init=nn.initializers.ones,
                         dtype=self.dtype, name=f"reg_preds.{i}")(reg_feat)
             )
             if not self.deploy:
                 reg_dist_outputs.append(
-                    nn.Conv(4 * (self.reg_max + 1), (1, 1), use_bias=True,
+                    QConv(4 * (self.reg_max + 1), (1, 1), use_bias=True,
                             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.ones,
                             dtype=self.dtype, name=f"reg_preds_dist.{i}")(reg_feat)
                 )

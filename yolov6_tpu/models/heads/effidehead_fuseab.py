@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolov6_tpu.layers.common import ConvBNSiLU
+from yolov6_tpu.layers.common import ConvBNSiLU, QConv
 from yolov6_tpu.models.effidehead import cls_bias_init
 from yolov6_tpu.utils.registry import HEADS
 
@@ -46,23 +46,23 @@ class DetectFuseAB(nn.Module):
             reg_feat = ConvBNSiLU(c, 3, 1, deploy=self.deploy, dtype=self.dtype, name=f"reg_convs.{i}")(x, train)
 
             cls_outputs.append(
-                nn.Conv(self.num_classes, (1, 1), use_bias=True,
+                QConv(self.num_classes, (1, 1), use_bias=True,
                         kernel_init=nn.initializers.zeros, bias_init=cls_bias_init,
                         dtype=self.dtype, name=f"cls_preds.{i}")(cls_feat)
             )
             reg_outputs.append(
-                nn.Conv(4 * (self.reg_max + 1), (1, 1), use_bias=True,
+                QConv(4 * (self.reg_max + 1), (1, 1), use_bias=True,
                         kernel_init=nn.initializers.zeros, bias_init=nn.initializers.ones,
                         dtype=self.dtype, name=f"reg_preds.{i}")(reg_feat)
             )
             if not self.deploy:
                 cls_ab_outputs.append(
-                    nn.Conv(self.num_classes * self.num_anchors, (1, 1), use_bias=True,
+                    QConv(self.num_classes * self.num_anchors, (1, 1), use_bias=True,
                             kernel_init=nn.initializers.zeros, bias_init=cls_bias_init,
                             dtype=self.dtype, name=f"cls_preds_ab.{i}")(cls_feat)
                 )
                 reg_ab_outputs.append(
-                    nn.Conv(4 * self.num_anchors, (1, 1), use_bias=True,
+                    QConv(4 * self.num_anchors, (1, 1), use_bias=True,
                             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.ones,
                             dtype=self.dtype, name=f"reg_preds_ab.{i}")(reg_feat)
                 )

@@ -10,7 +10,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from yolov6_tpu.layers.common import DPBlock
+from yolov6_tpu.layers.common import DPBlock, QConv
 from yolov6_tpu.models.effidehead import cls_bias_init
 from yolov6_tpu.utils.registry import HEADS
 
@@ -41,13 +41,13 @@ class DetectLite(nn.Module):
             x = DPBlock(c, 5, 1, self.deploy, self.dtype, name=f"stems.{i}")(x, train)
             stem_feats.append(x)
             cls_feat = DPBlock(c, 5, 1, self.deploy, self.dtype, name=f"cls_convs.{i}")(x, train)
-            cls_out = nn.Conv(
+            cls_out = QConv(
                 self.num_classes * self.num_anchors, (1, 1), use_bias=True,
                 kernel_init=nn.initializers.zeros, bias_init=cls_bias_init,
                 dtype=self.dtype, name=f"cls_preds.{i}",
             )(cls_feat)
             reg_feat = DPBlock(c, 5, 1, self.deploy, self.dtype, name=f"reg_convs.{i}")(x, train)
-            reg_out = nn.Conv(
+            reg_out = QConv(
                 4 * self.num_anchors, (1, 1), use_bias=True,
                 kernel_init=nn.initializers.zeros, bias_init=nn.initializers.ones,
                 dtype=self.dtype, name=f"reg_preds.{i}",
