@@ -271,6 +271,56 @@ class Evaler:
             device_time = 1000 * self.speed_result[2] / n
             LOGGER.info(f"Average device time (fwd+decode+NMS): {device_time:.2f} ms/img")
 
+    def measure_speed(self, batch_size: int = 32, iters: int = 20):
+        """Phase-split device timing on synthetic input (the reference's
+        3-phase pre/infer/NMS split, evaler.py:118-135, adapted to the
+        single-dispatch design): forward+decode vs full pipeline with NMS.
+
+        Iterations run on-device inside one jit so tunnel latency does not
+        pollute the numbers (see bench.py)."""
+        import jax as _jax
+        from functools import partial as _partial
+
+        model = self.model
+        dtype = jnp.bfloat16 if self.half else jnp.float32
+
+        def fwd(x):
+            head_out, _ = model.apply(self.variables, x.astype(dtype) / dtype(255.0), train=False)
+            return decode_eval(head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max)
+
+        def fwd_nms(x):
+            return non_max_suppression(
+                fwd(x), self.conf_thres, self.iou_thres, max_det=self.max_det, multi_label=True
+            )
+
+        def timed(fn):
+            @_partial(_jax.jit, static_argnames="n")
+            def loop(x, n):
+                def body(i, acc):
+                    out = fn(x + i.astype(jnp.float32) * 1e-9)
+                    return acc + _jax.tree_util.tree_reduce(
+                        lambda a, o: a + jnp.sum(o).astype(jnp.float32) * 1e-9, out, jnp.float32(0)
+                    )
+                return _jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+            x = _jax.random.uniform(
+                _jax.random.PRNGKey(0),
+                (batch_size, self.img_size, self.img_size, 3), jnp.float32, 0, 255,
+            )
+            _jax.device_get(loop(x, iters))
+            t0 = time.time()
+            _jax.device_get(loop(x, iters))
+            return (time.time() - t0) / iters / batch_size * 1000  # ms/img
+
+        t_fwd = timed(fwd)
+        t_all = timed(fwd_nms)
+        LOGGER.info(
+            f"speed @b{batch_size}: fwd+decode {t_fwd:.3f} ms/img "
+            f"({1000 / t_fwd:.0f} imgs/s), NMS {t_all - t_fwd:.3f} ms/img, "
+            f"total {t_all:.3f} ms/img ({1000 / t_all:.0f} imgs/s)"
+        )
+        return t_fwd, t_all
+
     @staticmethod
     def check_task(task):
         if task not in ["train", "val", "test", "speed"]:
