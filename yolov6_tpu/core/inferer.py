@@ -72,7 +72,7 @@ class Inferer:
                 self.model.use_dfl, self.model.reg_max,
             )
             return non_max_suppression(
-                preds, conf_thres, iou_thres, max_det=max_det,
+                preds, conf_thres, iou_thres, max_det=max_det, max_nms=2000,
                 multi_label=False, agnostic=agnostic, class_mask=class_mask,
             )
 
