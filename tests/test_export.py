@@ -36,3 +36,32 @@ def test_end2end_export_roundtrip(tmp_path):
     want = jax.jit(serve)(jnp.asarray(imgs))
     np.testing.assert_allclose(np.asarray(boxes), np.asarray(want[1]), rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(num_dets), np.asarray(want[0]))
+
+
+def test_artifact_eval_adapter(tmp_path):
+    """Evaler.init_artifact (the TRT-engine-eval analog) adapts the artifact
+    outputs to the (dets, valid) interface."""
+    from yolov6_tpu.core.evaler import Evaler
+
+    cfg = Config.fromfile("/root/repo/configs/yolov6n.py")
+    model = build_model(cfg, num_classes=8, deploy=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    serve = make_end2end_fn(
+        model, variables, conf_thres=0.005, iou_thres=0.65, max_det=20,
+        with_preprocess=False, half=False,
+    )
+    path = str(tmp_path / "m.stablehlo")
+    export_stablehlo(serve, batch=2, img_size=(64, 64), path=path, input_dtype=jnp.float32)
+
+    evaler = Evaler({"nc": 8, "names": list("abcdefgh"), "is_coco": False},
+                    batch_size=2, img_size=64, max_det=20)
+    evaler.init_artifact(path, num_classes=8)
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3), np.uint8)
+    dets, valid = evaler._infer(None, jnp.asarray(imgs))
+    assert dets.shape == (2, 20, 6)
+    assert valid.shape == (2, 20)
+    # valid prefix equals reported num_dets
+    want = jax.jit(serve)(jnp.asarray(imgs).astype(jnp.float32) / 255.0)
+    np.testing.assert_array_equal(
+        np.asarray(valid).sum(1), np.asarray(want[0])[:, 0]
+    )

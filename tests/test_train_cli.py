@@ -78,3 +78,40 @@ def test_train_cli_end_to_end(tiny_dataset, tmp_path):
     ckpt = load_native_checkpoint(osp.join(weights_dir, "last_ckpt.msgpack"))
     assert "model" in ckpt
     assert osp.exists(osp.join(args.save_dir, "args.yaml"))
+
+
+def test_train_resume(tiny_dataset, tmp_path):
+    """Train 2 epochs, then resume for 1 more from last_ckpt
+    (reference: tools/train.py:69-83, engine.py:78-89)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("train_cli2", "/root/repo/tools/train.py")
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
+
+    base = [
+        "--data-path", tiny_dataset,
+        "--conf-file", "/root/repo/configs/yolov6n.py",
+        "--img-size", "64", "--img-floor", "64",
+        "--batch-size", "4", "--workers", "2",
+        "--eval-final-only", "--stop_aug_last_n_epoch", "0",
+        "--output-dir", str(tmp_path), "--name", "resume_smoke",
+        "--max-labels", "8",
+    ]
+    # per-epoch checkpoints keep full train state (last/best get stripped at
+    # the end of a completed run, as in the reference)
+    args = train_cli.get_args_parser().parse_args(
+        base + ["--epochs", "2", "--save_ckpt_on_last_n_epoch", "2"]
+    )
+    train_cli.main(args)
+    ckpt_path = osp.join(args.save_dir, "weights", "1_ckpt.msgpack")
+    assert osp.exists(ckpt_path)
+
+    args2 = train_cli.get_args_parser().parse_args(
+        base + ["--epochs", "3", "--resume", ckpt_path]
+    )
+    train_cli.main(args2)
+    from yolov6_tpu.utils.checkpoint import load_native_checkpoint
+
+    ckpt = load_native_checkpoint(osp.join(args.save_dir, "weights", "last_ckpt.msgpack"))
+    assert int(ckpt["epoch"]) == 2  # resumed and ran the third epoch

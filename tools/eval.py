@@ -49,6 +49,11 @@ def get_args_parser(add_help=True):
     parser.add_argument("--specific-shape", action="store_true")
     parser.add_argument("--height", type=int, default=640)
     parser.add_argument("--width", type=int, default=640)
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="evaluate an exported StableHLO end2end artifact "
+                             "(the reference's TRT-engine eval analog)")
+    parser.add_argument("--do_pr_metric", action="store_true")
+    parser.add_argument("--plot_confusion_matrix", action="store_true")
     return parser
 
 
@@ -76,6 +81,7 @@ def run(
     specific_shape=False,
     height=640,
     width=640,
+    artifact=None,
 ):
     """Evaluate a model; mirrors reference tools/eval.py:run (:88-159)."""
     Evaler.check_task(task)
@@ -94,7 +100,9 @@ def run(
         do_coco_metric=do_coco_metric, do_pr_metric=do_pr_metric,
         plot_curve=plot_curve, plot_confusion_matrix=plot_confusion_matrix,
     )
-    if model is None:
+    if artifact:
+        model = evaler.init_artifact(artifact, num_classes=data["nc"])
+    elif model is None:
         cfg = Config.fromfile(config)
         model = build_model(
             cfg, num_classes=data["nc"], deploy=True,
@@ -104,7 +112,12 @@ def run(
             weights, model, img_size=(height, width) if specific_shape else (img_size, img_size),
             deploy=True, training_mode=cfg.get("training_mode", "repvgg"),
         )
-    evaler.init_model(model, variables)
+        evaler.init_model(model, variables)
+    else:
+        evaler.init_model(model, variables)
+    if task == "speed" and artifact is None:
+        evaler.measure_speed(batch_size)
+        return (0.0, 0.0), []
     dataloader = evaler.init_data(dataloader, task)
     pred_result = evaler.predict_model(model, dataloader, task)
     eval_result = evaler.eval_model(pred_result, model, dataloader, task)
@@ -129,7 +142,9 @@ def main(args):
         args.conf_thres, args.iou_thres, args.task, args.half,
         save_dir=save_dir, shrink_size=args.shrink_size,
         infer_on_rect=args.infer_on_rect, verbose=args.verbose,
+        do_pr_metric=args.do_pr_metric, plot_confusion_matrix=args.plot_confusion_matrix,
         specific_shape=args.specific_shape, height=args.height, width=args.width,
+        artifact=args.artifact,
     )
 
 

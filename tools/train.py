@@ -71,8 +71,7 @@ def check_and_init(args):
             args.resume if isinstance(args.resume, str) else find_latest_checkpoint()
         )
         assert os.path.exists(checkpoint_path), f"resume checkpoint {checkpoint_path} not found"
-        resume_dir = Path = osp.dirname(osp.dirname(checkpoint_path))
-        args.save_dir = resume_dir
+        args.save_dir = osp.dirname(osp.dirname(checkpoint_path))
         args.resume = checkpoint_path
         LOGGER.info(f"Resume training from checkpoint {checkpoint_path}")
     else:

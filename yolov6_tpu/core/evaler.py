@@ -102,6 +102,40 @@ class Evaler:
         self.variables = variables
         return model
 
+    def init_artifact(self, path: str, num_classes: int = 80):
+        """Evaluate an exported StableHLO end-to-end artifact instead of a
+        live model — the analog of the reference's TensorRT-engine eval
+        (reference: evaler.py:441-545 eval_trt).
+
+        The artifact must be exported with --end2end and WITHOUT
+        --with-preprocess (float RGB input)."""
+        from yolov6_tpu.models.end2end import load_exported
+
+        art = load_exported(path)
+        max_det = self.max_det
+
+        def _infer(_variables, imgs_u8):
+            x = imgs_u8.astype(jnp.float32) / 255.0
+            num_dets, boxes, scores, classes = art.call(x)
+            dets = jnp.concatenate(
+                [boxes, scores[..., None], classes[..., None].astype(jnp.float32)], -1
+            )
+            valid = (
+                jnp.arange(dets.shape[1])[None, :] < num_dets.astype(jnp.int32)
+            )
+            return dets, valid
+
+        self._infer = _infer
+        self.variables = None
+
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.num_classes = num_classes
+        self.model = shim
+        return shim
+
     def init_data(self, dataloader=None, task: str = "val"):
         if task != "train" and dataloader is None:
             pad = 0.5 if self.infer_on_rect else 0.0
@@ -269,6 +303,11 @@ class Evaler:
             gt["annotations"] = [a for a in gt["annotations"] if a["image_id"] in eval_ids]
         evaluator = COCOEvaluator(gt)
         stats = evaluator.evaluate(pred_results, verbose=True)
+        if self.verbose:
+            names = {c["id"]: c.get("name", str(c["id"])) for c in gt["categories"]}
+            LOGGER.info(f"{'class':<22}{'AP@0.5:0.95':>12}{'AP@0.5':>10}")
+            for name, ap, ap50 in evaluator.per_class_ap(names):
+                LOGGER.info(f"{name:<22}{ap:>12.4f}{ap50:>10.4f}")
         return (stats["AP50"], stats["AP"])
 
     def eval_speed(self, task: str = "speed"):

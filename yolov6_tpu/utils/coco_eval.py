@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -58,6 +58,19 @@ class COCOEvaluator:
             if ann.get("ignore"):
                 continue
             self._gt_by_key[(ann["image_id"], ann["category_id"])].append(ann)
+
+    def per_class_ap(self, names: Optional[Dict] = None):
+        """[(name, AP, AP50)] after evaluate() (reference: evaler.py verbose
+        per-class tables, :269-313)."""
+        out = []
+        for k, cat_id in enumerate(self.cat_ids):
+            s = self.precision[:, :, k, 0, MAX_DETS.index(100)]
+            s50 = self.precision[0, :, k, 0, MAX_DETS.index(100)]
+            ap = float(s[s > -1].mean()) if (s > -1).any() else float("nan")
+            ap50 = float(s50[s50 > -1].mean()) if (s50 > -1).any() else float("nan")
+            name = names.get(cat_id, str(cat_id)) if names else str(cat_id)
+            out.append((name, ap, ap50))
+        return out
 
     def evaluate(self, detections: Sequence[Dict], verbose: bool = False) -> Dict[str, float]:
         det_by_key = defaultdict(list)
