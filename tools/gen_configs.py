@@ -286,6 +286,39 @@ def main():
              SOLVER_SCRATCH, AUG_SCRATCH_05, training_mode="repopt", solver_extra=lr,
              header=f"{key} RepOptimizer training stage (RepOpt step 2)")
 
+    # ---- experiment family
+    t = dict(depth=0.33, width=0.375, backbone="EfficientRep", neck="RepPANNeck",
+             fuse_P2=False, iou="siou", dfl=False)
+    emit("experiment/yolov6t.py", p5_model("YOLOv6t", **t),
+         SOLVER_SCRATCH, AUG_SCRATCH_05, header="yolov6t (0.375 width)")
+    emit("experiment/yolov6t_finetune.py",
+         p5_model("YOLOv6t", **t, pretrained="weights/yolov6t.pt"),
+         SOLVER_FINETUNE, AUG_FINETUNE, header="yolov6t finetune recipe")
+    s_csp = dict(depth=0.70, width=0.50, backbone="CSPBepBackbone", neck="CSPRepPANNeck",
+                 csp_e="float(1)/2", fuse_P2=False, iou="giou", dfl=False)
+    emit("experiment/yolov6s_csp_scaled.py", p5_model("YOLOv6s_csp", **s_csp),
+         SOLVER_SCRATCH, AUG_SCRATCH_05, header="yolov6s csp-scaled experiment")
+    n_eval = p5_model("YOLOv6n", **dict(n, fuse_P2=False, cspsppf=False))
+    eval_params_block = """
+
+eval_params = dict(
+    batch_size=None,   # None -> per-device batch * 2
+    img_size=None,     # None -> train image size
+    conf_thres=0.03,
+    iou_thres=0.65,
+    shrink_size=None,  # None -> no shrink
+    infer_on_rect=True,
+    verbose=False,
+    do_coco_metric=True,
+    do_pr_metric=False,
+    plot_curve=False,
+    plot_confusion_matrix=False,
+)
+"""
+    emit("experiment/yolov6n_with_eval_params.py", n_eval + eval_params_block,
+         dict(SOLVER_SCRATCH, lr0=0.02), AUG_SCRATCH_05,
+         header="yolov6n with in-training eval params")
+
     # ---- eval reproduction constants (reference: configs/experiment/eval_640_repro.py)
     repro = """# Per-model resize constants reproducing the published 640-eval protocol.
 eval_params = dict(

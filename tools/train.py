@@ -61,6 +61,8 @@ def get_args_parser(add_help=True):
     parser.add_argument("--log-interval", type=int, default=50)
     parser.add_argument("--img-floor", type=int, default=256,
                         help="minimum training image size (reference floors at 256)")
+    parser.add_argument("--profile", action="store_true",
+                        help="write a jax.profiler trace to <save_dir>/profile")
     return parser
 
 
@@ -104,8 +106,18 @@ def main(args):
     cfg = check_and_init(args)
     trainer = Trainer(args, cfg)
     if args.quant and args.calib:
-        raise NotImplementedError("PTQ calibration arrives with the quantization track")
-    trainer.train()
+        trainer.calibrate()
+        return
+    if getattr(args, "profile", False):
+        import jax
+
+        jax.profiler.start_trace(osp.join(args.save_dir, "profile"))
+        try:
+            trainer.train()
+        finally:
+            jax.profiler.stop_trace()
+    else:
+        trainer.train()
 
 
 if __name__ == "__main__":

@@ -118,6 +118,34 @@ class Trainer:
             if not args.quant else 0
         )
 
+        # ---- QAT (reference: engine.quant_setup:578-594): load a calibrated
+        # PTQ checkpoint and train with fake-quant active (straight-through
+        # gradients; amax ranges frozen in the 'quant' collection)
+        self.quant_collection = None
+        if args.quant and not args.calib:
+            from yolov6_tpu.quant import set_quant_mode
+
+            qat_cfg = cfg.get("qat") or {}
+            calib_pt = qat_cfg.get("calib_pt")
+            if not calib_pt:
+                raise ValueError("QAT needs a calibrated checkpoint (cfg.qat.calib_pt)")
+            calib = load_native_checkpoint(calib_pt)
+            calib_vars = calib.get("model", calib)
+            variables["params"] = jax.tree_util.tree_map(jnp.asarray, calib_vars["params"])
+            if "batch_stats" in calib_vars:
+                variables["batch_stats"] = jax.tree_util.tree_map(
+                    jnp.asarray, calib_vars["batch_stats"]
+                )
+            self.quant_collection = jax.tree_util.tree_map(
+                jnp.asarray, calib_vars["quant"]
+            )
+            set_quant_mode(
+                True, calibrating=False,
+                num_bits=(cfg.get("ptq") or {}).get("num_bits", 8),
+                skip_patterns=qat_cfg.get("sensitive_layers_list", [])
+                if qat_cfg.get("sensitive_layers_skip") else [],
+            )
+
         # ---- RepOpt: reinit plain convs from CSLA scales + gradient masks
         grad_masks = None
         if cfg.get("training_mode") == "repopt":
@@ -165,6 +193,7 @@ class Trainer:
             compute_loss_ab=self.losses.get("ab"),
             teacher=self._make_teacher_triple(),
             grad_masks=grad_masks,
+            quant_collection=self.quant_collection,
         )
 
         self.state = create_train_state(variables)
@@ -367,15 +396,33 @@ class Trainer:
             )
 
     def eval_model(self):
-        """In-training eval on the EMA weights (reference: engine.py:222-269)."""
+        """In-training eval on the EMA weights (reference: engine.py:222-269);
+        per-config eval_params override the defaults (reference :236-264)."""
         from yolov6_tpu.core.evaler import Evaler
 
         ema_variables = {"params": self.state.ema_params}
         if self.state.ema_batch_stats:
             ema_variables["batch_stats"] = self.state.ema_batch_stats
+
+        ep = self.cfg.get("eval_params") or {}
+
+        def val(key, default):
+            v = ep.get(key)
+            if isinstance(v, list):
+                v = v[0]
+            return default if v is None else v
+
         evaler = Evaler(
-            self.data_dict, batch_size=self.batch_size, img_size=self.img_size,
-            conf_thres=0.03, iou_thres=0.65, save_dir=self.save_dir,
+            self.data_dict,
+            batch_size=val("batch_size", self.batch_size),
+            img_size=val("img_size", self.img_size),
+            conf_thres=val("conf_thres", 0.03),
+            iou_thres=val("iou_thres", 0.65),
+            save_dir=self.save_dir,
+            shrink_size=val("shrink_size", 0) or 0,
+            verbose=val("verbose", False),
+            do_coco_metric=val("do_coco_metric", True),
+            do_pr_metric=val("do_pr_metric", False),
         )
         evaler.init_model(self.model, ema_variables)
         preds = evaler.predict_model(self.model, self.val_loader, task="train")
@@ -384,6 +431,32 @@ class Trainer:
             f"Epoch: {self.epoch} | mAP@0.5: {results[0]} | mAP@0.50:0.95: {results[1]}"
         )
         self.evaluate_results = results[:2]
+
+    def calibrate(self):
+        """In-train PTQ calibration (reference: engine.calibrate:559-577):
+        run calibration batches, save a quantized checkpoint, evaluate."""
+        assert self.args.quant and self.args.calib
+        if not self.main_process:
+            return
+        from yolov6_tpu.quant.ptq import calibrate as ptq_calibrate
+        from yolov6_tpu.quant.ptq import quantize_variables
+
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        batches = (imgs for imgs, *_ in self.train_loader)
+        ptq_cfg = self.cfg.get("ptq") or {}
+        qvars = ptq_calibrate(
+            self.model, variables, batches,
+            num_bits=ptq_cfg.get("num_bits", 8),
+            skip_patterns=ptq_cfg.get("sensitive_layers_list", [])
+            if ptq_cfg.get("sensitive_layers_skip") else [],
+            max_batches=ptq_cfg.get("calib_batches", 32),
+        )
+        qvars = quantize_variables(qvars, ptq_cfg.get("num_bits", 8))
+        out_dir = ptq_cfg.get("calib_output_path", osp.join(self.save_dir, "weights"))
+        save_checkpoint({"model": qvars}, False, out_dir, "calib_ckpt")
+        LOGGER.info(f"calibrated checkpoint saved under {out_dir}")
 
     def strip_model(self):
         if self.main_process:

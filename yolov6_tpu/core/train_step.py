@@ -89,6 +89,7 @@ def make_train_step(
     compute_loss_ab=None,
     teacher=None,
     grad_masks=None,
+    quant_collection=None,
 ):
     """Build the jitted train step.
 
@@ -107,6 +108,9 @@ def make_train_step(
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
+            if quant_collection is not None:
+                # QAT: calibrated activation amax ranges (frozen during training)
+                variables["quant"] = quant_collection
             (head_out, neck_feats), updates = model.apply(
                 variables, images, train=True, mutable=["batch_stats"]
             )
