@@ -163,10 +163,13 @@ class ComputeLossDistill:
 
         fg = fg_mask.astype(jnp.float32)
         bbox_weight = jnp.sum(target_scores, -1) * fg
-        iou = elementwise_box_iou(
-            iou_branch_bboxes, target_bboxes, iou_type=self.iou_type, box_format="xyxy", eps=1e-10
-        )
-        loss_iou = jnp.sum((1.0 - iou) * bbox_weight) / denom
+        loss_iou = jnp.float32(0.0)
+        for branch_boxes in iou_branch_bboxes:
+            iou = elementwise_box_iou(
+                branch_boxes, target_bboxes, iou_type=self.iou_type,
+                box_format="xyxy", eps=1e-10,
+            )
+            loss_iou = loss_iou + jnp.sum((1.0 - iou) * bbox_weight) / denom
 
         if self.use_dfl:
             b, a, _ = pred_distri.shape
@@ -178,7 +181,12 @@ class ComputeLossDistill:
             kd_per_anchor = distill_loss_dfl_per_anchor(
                 s_dist, t_dist, self.temperature, self.reg_max
             )
-            d_loss_dfl = jnp.sum(kd_per_anchor * bbox_weight) / denom
+            # reference distill_loss_dfl returns the SCALAR mean KL over all
+            # positive anchors, then multiplies by the bbox_weight vector and
+            # sums (loss_distill.py:320,352-362) — i.e. mean_kl * sum(weight)
+            n_pos = jnp.maximum(jnp.sum(fg), 1.0)
+            kd_mean = jnp.sum(kd_per_anchor * fg) / n_pos
+            d_loss_dfl = kd_mean * jnp.sum(bbox_weight) / denom
         else:
             loss_dfl = jnp.float32(0.0)
             d_loss_dfl = jnp.float32(0.0)
@@ -219,4 +227,5 @@ class ComputeLossDistill:
         return pred_distri
 
     def _iou_branch_bboxes(self, head_out, anchor_points_s, pred_bboxes):
-        return pred_bboxes
+        """List of decoded box tensors whose IoU losses are summed."""
+        return [pred_bboxes]

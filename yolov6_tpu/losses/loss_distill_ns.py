@@ -22,8 +22,10 @@ class ComputeLossDistillNS(ComputeLossDistill):
         )
 
     def _iou_branch_bboxes(self, head_out, anchor_points_s, pred_bboxes):
-        # IoU loss on the deployed plain-ltrb branch (reference: loss_distill_ns.py:92-93)
+        # NS sums the IoU losses of BOTH regression branches: the DFL-decoded
+        # distri branch and the deployed plain-ltrb branch
+        # (reference: loss_distill_ns.py:283-292, 325 returns iou + iou_lrtb)
         pred_lrtb = jnp.concatenate(
             [r.reshape(r.shape[0], -1, r.shape[-1]) for r in head_out["reg"]], axis=1
         ).astype(jnp.float32)
-        return dist2bbox(pred_lrtb, anchor_points_s[None])
+        return [pred_bboxes, dist2bbox(pred_lrtb, anchor_points_s[None])]
