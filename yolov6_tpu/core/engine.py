@@ -329,10 +329,54 @@ class Trainer:
         self.train_loader.set_epoch(self.epoch)
         self.mean_loss = None
 
+    def plot_train_batch(self, imgs, labels, paths, max_size=1920, max_subplots=16):
+        """Annotated train-batch mosaic for TensorBoard (reference: engine.py:483-536)."""
+        import math as _math
+
+        import cv2
+
+        bs, h, w, _ = imgs.shape
+        bs = min(bs, max_subplots)
+        ns = int(np.ceil(bs**0.5))
+        mosaic = np.full((ns * h, ns * w, 3), 255, np.uint8)
+        for i in range(bs):
+            x0, y0 = w * (i // ns), h * (i % ns)
+            mosaic[y0:y0 + h, x0:x0 + w] = imgs[i][..., ::-1]  # RGB->BGR for cv2 draw
+            cv2.rectangle(mosaic, (x0, y0), (x0 + w, y0 + h), (255, 255, 255), 2)
+            cv2.putText(mosaic, os.path.basename(paths[i])[:40], (x0 + 5, y0 + 15),
+                        cv2.FONT_HERSHEY_COMPLEX, 0.5, (220, 220, 220), 1)
+            lb = labels[i]
+            lb = lb[lb[:, 0] >= 0]
+            for cls, cx, cy, bw, bh in lb:
+                x1 = int((cx - bw / 2) * w) + x0
+                y1 = int((cy - bh / 2) * h) + y0
+                x2 = int((cx + bw / 2) * w) + x0
+                y2 = int((cy + bh / 2) * h) + y0
+                color = tuple(int(c) for c in np.random.default_rng(int(cls)).integers(64, 255, 3))
+                cv2.rectangle(mosaic, (x1, y1), (x2, y2), color, 1)
+                name = self.data_dict["names"][int(cls)]
+                cv2.putText(mosaic, str(name), (x1, max(y1 - 5, 10)),
+                            cv2.FONT_HERSHEY_COMPLEX, 0.5, color, 1)
+        scale = max_size / ns / max(h, w)
+        if scale < 1:
+            mosaic = cv2.resize(
+                mosaic, (int(ns * w * scale), int(ns * h * scale))
+            )
+        return mosaic[..., ::-1]  # back to RGB for TB
+
     def train_one_epoch(self, epoch_num):
         use_atss = epoch_num < self.losses["main"].warmup_epoch
         epoch_arr = jnp.asarray(epoch_num, jnp.float32)
         for step, (imgs, labels, paths, shapes, n_valid) in enumerate(self.train_loader):
+            if (
+                step == 0 and self.main_process and self.tblogger
+                and getattr(self.args, "write_trainbatch_tb", False)
+            ):
+                from yolov6_tpu.utils.events import write_tbimg
+
+                mosaic = self.plot_train_batch(imgs, labels, paths)
+                write_tbimg(self.tblogger, mosaic,
+                            step + self.max_stepnum * epoch_num, type="train")
             batch = pmesh.shard_batch(self.mesh, (jnp.asarray(imgs), jnp.asarray(labels)))
             self.state, loss, components = self.train_step(
                 self.state, batch[0], batch[1], epoch_arr, use_atss=use_atss
