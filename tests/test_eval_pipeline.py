@@ -92,6 +92,39 @@ def test_eval_pipeline_perfect_mock(synthetic_dataset, tmp_path):
     assert ap > 0.95, f"AP={ap}"
 
 
+def test_eval_pipeline_rect_mode(synthetic_dataset, tmp_path):
+    """infer_on_rect: aspect-ratio-bucketed batch shapes still score mAP ~1
+    with the GT-echo mock (exercises variable-shape batches + scale_coords)."""
+    data_dict = {"nc": 3, "names": ["a", "b", "c"], "is_coco": False, "val": synthetic_dataset}
+    loader, dataset = create_dataloader(
+        synthetic_dataset, img_size=320, batch_size=2, data_dict=data_dict,
+        task="val", rect=True, pad=0.5,
+    )
+    assert dataset.batch_shapes is not None
+    evaler = Evaler(data_dict, batch_size=2, img_size=320, save_dir=str(tmp_path),
+                    infer_on_rect=True)
+
+    pred_results = []
+    shapes_seen = set()
+    for imgs, labels, paths, shapes, n_valid in loader:
+        b, h, w, _ = imgs.shape
+        shapes_seen.add((h, w))
+        dets = np.zeros((b, 300, 6), np.float32)
+        valid = np.zeros((b, 300), bool)
+        for i in range(b):
+            lb = labels[i]
+            lb = lb[lb[:, 0] >= 0]
+            for j, (cls, cx, cy, bw, bh) in enumerate(lb):
+                dets[i, j] = [(cx - bw / 2) * w, (cy - bh / 2) * h,
+                              (cx + bw / 2) * w, (cy + bh / 2) * h, 0.9, cls]
+                valid[i, j] = True
+        pred_results.extend(
+            evaler.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
+        )
+    ap50, ap = evaler.eval_model(pred_results, None, loader)
+    assert ap50 > 0.99 and ap > 0.95, (ap50, ap, shapes_seen)
+
+
 def test_eval_pipeline_shifted_boxes_degrade(synthetic_dataset, tmp_path):
     """Shifting mock detections must lower strict-IoU AP but keep AP50."""
     data_dict = {"nc": 3, "names": ["a", "b", "c"], "is_coco": False, "val": synthetic_dataset}

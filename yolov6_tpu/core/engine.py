@@ -58,10 +58,12 @@ class Trainer:
             args.distill and cfg.model.type in ("YOLOv6n", "YOLOv6s")
         )
 
-        # ---- model
+        # ---- model (bf16 compute is the TPU analog of the reference's AMP,
+        # engine.py:150; params/BN/loss stay fp32)
+        compute_dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
         self.model = build_model(
             cfg, self.num_classes, fuse_ab=args.fuse_ab, distill_ns=self.distill_ns,
-            deploy=False,
+            deploy=False, dtype=compute_dtype,
         )
         rng = jax.random.PRNGKey(args.seed if hasattr(args, "seed") else 0)
         variables = self.model.init(
