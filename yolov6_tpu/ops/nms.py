@@ -50,42 +50,12 @@ def _single_image_nms(
     agnostic: bool,
     class_mask: Optional[jnp.ndarray],
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """pred [A, 5+nc] -> (detections [max_det, 6], valid [max_det])."""
-    nc = pred.shape[-1] - 5
-    boxes = xywh2xyxy(pred[:, :4])
-    scores = pred[:, 5:] * pred[:, 4:5]  # conf = obj * cls (reference :69)
-
-    if class_mask is not None:
-        scores = scores * class_mask[None, :]
-
-    if multi_label and nc > 1:
-        flat = scores.reshape(-1)  # [A*nc]
-        flat = jnp.where(flat > conf_thres, flat, 0.0)
-        k = min(max_nms, flat.shape[0])
-        if k < flat.shape[0]:
-            # TPU-optimized approximate top-k (6x faster than the exact sort;
-            # recall ~0.95 at the boundary — irrelevant after NMS + max_det).
-            # The greedy loop argmaxes over scores, so ordering is immaterial.
-            top_scores, top_idx = jax.lax.approx_max_k(flat, k)
-        else:
-            top_scores, top_idx = jax.lax.top_k(flat, k)
-        box_idx = top_idx // nc
-        cls_idx = (top_idx % nc).astype(jnp.float32)
-    else:
-        best = jnp.max(scores, axis=-1)
-        cls = jnp.argmax(scores, axis=-1).astype(jnp.float32)
-        best = jnp.where(best > conf_thres, best, 0.0)
-        k = min(max_nms, best.shape[0])
-        if k < best.shape[0]:
-            top_scores, box_idx = jax.lax.approx_max_k(best, k)
-        else:
-            top_scores, box_idx = jax.lax.top_k(best, k)
-        cls_idx = cls[box_idx]
-
-    cand_boxes = boxes[box_idx]
+    """pred [A, 5+nc] -> (detections [max_det, 6], valid [max_det]).
+    XLA-loop fallback path (non-TPU backends)."""
+    cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
+        pred, conf_thres, max_nms, multi_label, agnostic, class_mask
+    )
     cand_valid = top_scores > conf_thres
-    offset = 0.0 if agnostic else MAX_WH
-    nms_boxes = cand_boxes + (cls_idx * offset)[:, None]
 
     def body(i, carry):
         alive, out_boxes, out_scores, out_cls, out_valid = carry
