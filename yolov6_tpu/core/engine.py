@@ -44,6 +44,12 @@ class Trainer:
 
         self.data_dict = load_yaml(args.data_path)
         self.num_classes = self.data_dict["nc"]
+        if self.data_dict.get("is_coco"):
+            from yolov6_tpu.utils.coco_eval import coco80_to_coco91_class
+
+            self.ids_to_contig = {c: i for i, c in enumerate(coco80_to_coco91_class())}
+        else:
+            self.ids_to_contig = {i: i for i in range(self.num_classes)}
         self.img_size = args.img_size
         self.batch_size = args.batch_size
 
@@ -477,6 +483,49 @@ class Trainer:
             f"Epoch: {self.epoch} | mAP@0.5: {results[0]} | mAP@0.50:0.95: {results[1]}"
         )
         self.evaluate_results = results[:2]
+        if self.tblogger:
+            self._plot_val_pred(preds)
+
+    def _plot_val_pred(self, pred_results, vis_conf=0.3, vis_max_box_num=5, max_imgs=8):
+        """Annotated val predictions to TensorBoard (reference: engine.py:538-556)."""
+        import cv2
+
+        from yolov6_tpu.core.inferer import Inferer
+        from yolov6_tpu.utils.events import write_tbimg
+
+        by_image = {}
+        for d in pred_results:
+            by_image.setdefault(d["image_id"], []).append(d)
+        stem_to_path = {
+            (int(osp.splitext(osp.basename(p))[0])
+             if osp.splitext(osp.basename(p))[0].isnumeric()
+             else osp.splitext(osp.basename(p))[0]): p
+            for p in self.val_loader.dataset.img_paths
+        }
+        vis = []
+        for image_id, dets in list(by_image.items())[:max_imgs]:
+            path = stem_to_path.get(image_id)
+            if path is None:
+                continue
+            img = cv2.imread(path)
+            dets = sorted(dets, key=lambda d: -d["score"])[:vis_max_box_num]
+            for d in dets:
+                if d["score"] < vis_conf:
+                    continue
+                x, y, w, h = d["bbox"]
+                cls_id = (
+                    self.ids_to_contig.get(d["category_id"], 0)
+                    if hasattr(self, "ids_to_contig") else int(d["category_id"]) % len(self.data_dict["names"])
+                )
+                color = Inferer.generate_colors(cls_id, True)
+                cv2.rectangle(img, (int(x), int(y)), (int(x + w), int(y + h)), color, 1)
+                cv2.putText(
+                    img, f"{self.data_dict['names'][cls_id]}: {d['score']:.2f}",
+                    (int(x), max(int(y) - 8, 10)), cv2.FONT_HERSHEY_COMPLEX, 0.5, color, 1,
+                )
+            vis.append(img[:, :, ::-1])
+        if vis:
+            write_tbimg(self.tblogger, vis, self.epoch, type="val")
 
     def calibrate(self):
         """In-train PTQ calibration (reference: engine.calibrate:559-577):
