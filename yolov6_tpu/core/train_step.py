@@ -154,40 +154,74 @@ def make_train_step(
 
             grads = apply_gradient_masks(grads, grad_masks)
 
-        grad_accum = jax.tree_util.tree_map(
-            lambda a, g: a + g.astype(jnp.float32), state.grad_accum, grads
-        )
-        accum_count = state.accum_count + 1
-
         lr_bn, lr_w, lr_b, momentum = warmup_lr_momentum(
             state.step, epoch, warmup_stepnum,
             solver_cfg["lr0"], solver_cfg["lrf"], epochs,
             solver_cfg["warmup_bias_lr"], solver_cfg["warmup_momentum"],
             solver_cfg["momentum"], solver_cfg.get("lr_scheduler", "Cosine"),
         )
-        acc_target = warmup_accumulate(state.step, warmup_stepnum, batch_size)
-        do_apply = accum_count >= acc_target
 
-        new_params, new_opt = sgd_update(
-            grad_accum, state.opt, state.params, group_ids,
-            lr_bn, lr_w, lr_b, momentum, solver_cfg["weight_decay"],
+        # the reference's AMP GradScaler skips optimizer steps whose grads
+        # contain inf/nan (engine.py:371-372); replicate that guard — it is
+        # what keeps early bf16 training from being destroyed by one bad step
+        grads_finite = jax.tree_util.tree_reduce(
+            lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True)
         )
 
-        def sel(new, old):
-            return jax.tree_util.tree_map(
-                lambda n, o: jnp.where(do_apply, n, o), new, old
+        # with global batch >= the nominal 64 the accumulate count is 1 for
+        # the whole run — skip the accumulation buffers and selects entirely
+        single_step = round(64 / batch_size) <= 1
+
+        if single_step:
+            grads32 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+            new_params, new_opt = sgd_update(
+                grads32, state.opt, state.params, group_ids,
+                lr_bn, lr_w, lr_b, momentum, solver_cfg["weight_decay"],
             )
 
-        params = sel(new_params, state.params)
-        opt = sel(new_opt, state.opt)
-        grad_accum = sel(jax.tree_util.tree_map(jnp.zeros_like, grad_accum), grad_accum)
-        accum_count = jnp.where(do_apply, 0, accum_count)
+            def selg(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(grads_finite, n, o), new, old
+                )
 
-        ema_updates = state.ema_updates + do_apply.astype(jnp.int32)
-        new_ema_params = ema_update(state.ema_params, params, ema_updates)
-        new_ema_stats = ema_update(state.ema_batch_stats, new_batch_stats, ema_updates)
-        ema_params = sel(new_ema_params, state.ema_params)
-        ema_batch_stats = sel(new_ema_stats, state.ema_batch_stats)
+            params = selg(new_params, state.params)
+            opt = selg(new_opt, state.opt)
+            grad_accum = state.grad_accum
+            accum_count = state.accum_count
+            ema_updates = state.ema_updates + grads_finite.astype(jnp.int32)
+            ema_params = selg(ema_update(state.ema_params, params, ema_updates), state.ema_params)
+            ema_batch_stats = selg(
+                ema_update(state.ema_batch_stats, new_batch_stats, ema_updates),
+                state.ema_batch_stats,
+            )
+        else:
+            grad_accum = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32) * grads_finite, state.grad_accum, grads
+            )
+            accum_count = state.accum_count + 1
+            acc_target = warmup_accumulate(state.step, warmup_stepnum, batch_size)
+            do_apply = accum_count >= acc_target
+
+            new_params, new_opt = sgd_update(
+                grad_accum, state.opt, state.params, group_ids,
+                lr_bn, lr_w, lr_b, momentum, solver_cfg["weight_decay"],
+            )
+
+            def sel(new, old):
+                return jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(do_apply, n, o), new, old
+                )
+
+            params = sel(new_params, state.params)
+            opt = sel(new_opt, state.opt)
+            grad_accum = sel(jax.tree_util.tree_map(jnp.zeros_like, grad_accum), grad_accum)
+            accum_count = jnp.where(do_apply, 0, accum_count)
+
+            ema_updates = state.ema_updates + do_apply.astype(jnp.int32)
+            new_ema_params = ema_update(state.ema_params, params, ema_updates)
+            new_ema_stats = ema_update(state.ema_batch_stats, new_batch_stats, ema_updates)
+            ema_params = sel(new_ema_params, state.ema_params)
+            ema_batch_stats = sel(new_ema_stats, state.ema_batch_stats)
 
         new_state = TrainState(
             params=params,
