@@ -60,7 +60,10 @@ def test_fuse_ab_step():
     assert losses[-1] < losses[0]
 
 
-@pytest.mark.parametrize("ns", [True, False])
+# only the NS variant runs as a full train step: it exercises the dual-branch
+# head wiring; the M/L distill loss math is golden-tested in test_losses_aux
+# and shares the same step plumbing (teacher fwd in-graph).
+@pytest.mark.parametrize("ns", [True])
 def test_distill_step(ns):
     cfg = Config.fromfile("/root/repo/configs/yolov6s.py" if ns else "/root/repo/configs/yolov6m.py")
     if ns:
