@@ -41,6 +41,9 @@ def main():
     parser.add_argument("--platforms", nargs="+", default=None,
                         help="e.g. tpu cpu — multi-platform artifact")
     parser.add_argument("--check", action="store_true", help="round-trip sanity check")
+    parser.add_argument("--runner-dir", type=str, default=None,
+                        help="also write the raw-StableHLO artifact directory "
+                             "for the native C++ PJRT runner")
     args = parser.parse_args()
 
     if len(args.img_size) == 1:
@@ -81,6 +84,23 @@ def main():
         input_dtype=jnp.uint8 if args.with_preprocess else jnp.float32,
     )
     LOGGER.info(f"Exported to {output} in {time.time() - t0:.1f}s")
+
+    if args.runner_dir:
+        from yolov6_tpu.models.end2end import write_native_artifact
+
+        write_native_artifact(
+            serve, args.batch_size, tuple(args.img_size), args.runner_dir,
+            input_dtype=jnp.uint8 if args.with_preprocess else jnp.float32,
+            meta={
+                "end2end": bool(args.end2end),
+                "with_preprocess": bool(args.with_preprocess),
+                "conf_thres": args.conf_thres,
+                "iou_thres": args.iou_thres,
+                "max_det": args.max_det,
+                "num_classes": args.num_classes,
+            },
+        )
+        LOGGER.info(f"Native runner artifact written to {args.runner_dir}")
 
     if args.check:
         import numpy as np

@@ -77,3 +77,52 @@ def load_exported(path: str):
 
     with open(path, "rb") as f:
         return jexport.deserialize(bytearray(f.read()))
+
+
+def write_native_artifact(
+    serve_fn,
+    batch: int,
+    img_size: Tuple[int, int],
+    out_dir: str,
+    input_dtype=jnp.uint8,
+    meta: Optional[dict] = None,
+):
+    """Write the artifact directory consumed by the native C++ PJRT runner
+    (yolov6_tpu/native/pjrt_runner.cc — the analog of the reference's
+    deploy/TensorRT C++ engine file + yolov6.cpp pipeline):
+
+      module.stablehlo.bc   raw versioned-StableHLO bytecode, compilable by
+                            any PJRT plugin via PJRT_Client_Compile
+      compile_options.pb    serialized xla CompileOptionsProto (1 replica)
+      manifest.json         shapes/dtypes + serving parameters
+    """
+    import json
+    import os
+
+    from jax import export as jexport
+    from jaxlib import xla_client
+
+    os.makedirs(out_dir, exist_ok=True)
+    spec = jax.ShapeDtypeStruct((batch, img_size[0], img_size[1], 3), input_dtype)
+    exported = jexport.export(jax.jit(serve_fn))(spec)
+    with open(os.path.join(out_dir, "module.stablehlo.bc"), "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    with open(os.path.join(out_dir, "compile_options.pb"), "wb") as f:
+        f.write(xla_client.CompileOptions().SerializeAsString())
+
+    def aval_entry(a):
+        return {"shape": list(a.shape), "dtype": str(a.dtype)}
+
+    manifest = {
+        "format": "stablehlo-bytecode",
+        "module": "module.stablehlo.bc",
+        "compile_options": "compile_options.pb",
+        "input": aval_entry(exported.in_avals[0]),
+        "outputs": [aval_entry(a) for a in exported.out_avals],
+        "img_size": list(img_size),
+        "batch": batch,
+    }
+    manifest.update(meta or {})
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return out_dir
