@@ -60,3 +60,64 @@ def test_native_normalize(lib_available):
     im = rng.integers(0, 255, (32, 48, 3), np.uint8)
     out = native.normalize_rgb_native(im)
     np.testing.assert_allclose(out, im[..., ::-1].astype(np.float32) / 255.0, rtol=1e-6)
+
+
+def test_native_jpeg_decode_matches_cv2(tmp_path):
+    """libjpeg decode is pixel-identical to cv2's for baseline JPEGs."""
+    import cv2
+    import numpy as np
+
+    from yolov6_tpu.native import available, decode_jpeg_native
+
+    if not available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (123, 77, 3), np.uint8)
+    p = str(tmp_path / "x.jpg")
+    cv2.imwrite(p, img, [cv2.IMWRITE_JPEG_QUALITY, 92])
+    got = decode_jpeg_native(p)
+    want = cv2.imread(p)[..., ::-1]  # BGR -> RGB
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_batch_decode_letterbox(tmp_path):
+    """Threaded batch decode+letterbox == per-image native letterbox; failed
+    paths fill with pad and are counted."""
+    import cv2
+    import numpy as np
+    import pytest
+
+    from yolov6_tpu.native import (
+        available,
+        batch_decode_letterbox_native,
+        decode_jpeg_native,
+        letterbox_native,
+    )
+
+    if not available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(6):
+        h, w = int(rng.integers(50, 200)), int(rng.integers(50, 200))
+        p = str(tmp_path / f"{i}.jpg")
+        cv2.imwrite(p, rng.integers(0, 255, (h, w, 3), np.uint8))
+        paths.append(p)
+    paths.append(str(tmp_path / "missing.jpg"))
+
+    batch, ratios, pads, src_hw, failed = batch_decode_letterbox_native(
+        paths, (128, 128), scaleup=False, n_threads=4
+    )
+    assert failed == 1
+    assert batch.shape == (7, 128, 128, 3)
+    assert (batch[-1] == 114).all()  # failed slot = pad
+    for i in range(6):
+        im = decode_jpeg_native(paths[i])
+        want, r, (px, py) = letterbox_native(im, (128, 128), scaleup=False)
+        np.testing.assert_array_equal(batch[i], want)
+        assert ratios[i] == pytest.approx(r)
+        assert tuple(pads[i]) == (px, py)
+        assert tuple(src_hw[i]) == im.shape[:2]
+

@@ -115,3 +115,46 @@ def test_train_resume(tiny_dataset, tmp_path):
 
     ckpt = load_native_checkpoint(osp.join(args.save_dir, "weights", "last_ckpt.msgpack"))
     assert int(ckpt["epoch"]) == 2  # resumed and ran the third epoch
+
+
+def test_train_orbax_backend_and_resume(tiny_dataset, tmp_path):
+    """--ckpt-backend orbax: async sharded checkpoints + resume from the
+    orbax root + final stripped msgpack export (utils/orbax_ckpt.py)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("train_cli3", "/root/repo/tools/train.py")
+    train_cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(train_cli)
+
+    base = [
+        "--data-path", tiny_dataset,
+        "--conf-file", "/root/repo/configs/yolov6n.py",
+        "--img-size", "64", "--img-floor", "64",
+        "--batch-size", "4", "--workers", "2",
+        "--eval-final-only", "--stop_aug_last_n_epoch", "0",
+        "--output-dir", str(tmp_path), "--name", "orbax_smoke",
+        "--max-labels", "8", "--ckpt-backend", "orbax",
+    ]
+    args = train_cli.get_args_parser().parse_args(base + ["--epochs", "2"])
+    train_cli.main(args)
+
+    orbax_root = osp.join(args.save_dir, "weights", "orbax")
+    from yolov6_tpu.utils.orbax_ckpt import OrbaxCheckpointer, is_orbax_checkpoint
+
+    assert is_orbax_checkpoint(orbax_root)
+    ck = OrbaxCheckpointer(orbax_root, async_save=False)
+    assert ck.latest_step() == 1
+    ck.close()
+    # strip_model exported a backend-agnostic msgpack of the EMA weights
+    from yolov6_tpu.utils.checkpoint import load_native_checkpoint
+
+    stripped = load_native_checkpoint(osp.join(args.save_dir, "weights", "best_ckpt.msgpack"))
+    assert "params" in stripped["model"]
+
+    args2 = train_cli.get_args_parser().parse_args(
+        base + ["--epochs", "3", "--resume", orbax_root]
+    )
+    train_cli.main(args2)
+    ck = OrbaxCheckpointer(orbax_root, async_save=False)
+    assert ck.latest_step() == 2  # resumed from epoch 1, ran the third epoch
+    ck.close()

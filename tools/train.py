@@ -63,6 +63,10 @@ def get_args_parser(add_help=True):
                         help="minimum training image size (reference floors at 256)")
     parser.add_argument("--profile", action="store_true",
                         help="write a jax.profiler trace to <save_dir>/profile")
+    parser.add_argument("--ckpt-backend", default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="orbax = async + sharded checkpointing "
+                             "(multi-host; utils/orbax_ckpt.py)")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations (the reference's AMP analog)")
     return parser

@@ -210,11 +210,38 @@ class Trainer:
         self.best_stop_strong_aug_ap = 0.0
         self.evaluate_results = (0.0, 0.0)
 
+        # ---- checkpoint backend (msgpack: single-host sync;
+        #      orbax: async + sharded for multi-host — utils/orbax_ckpt.py)
+        self.ckpt_backend = getattr(args, "ckpt_backend", "msgpack")
+        self.orbax = None
+        if self.ckpt_backend == "orbax" and self.main_process:
+            from yolov6_tpu.utils.orbax_ckpt import OrbaxCheckpointer
+
+            self.orbax = OrbaxCheckpointer(
+                osp.join(self.save_dir, "weights", "orbax"),
+                max_to_keep=max(3, getattr(args, "save_ckpt_on_last_n_epoch", 0) or 0),
+                async_save=True,
+            )
+
         # ---- resume (reference: engine.py:78-89)
         if args.resume:
             from yolov6_tpu.core.train_step import state_from_dict
+            from yolov6_tpu.utils.orbax_ckpt import is_orbax_checkpoint
 
-            ckpt = load_native_checkpoint(args.resume)
+            if is_orbax_checkpoint(args.resume):
+                from yolov6_tpu.utils.orbax_ckpt import OrbaxCheckpointer
+
+                ck = OrbaxCheckpointer(args.resume, async_save=False)
+                step = ck.latest_step()
+                restored = ck.restore(step)
+                ckpt = {
+                    "train_state": restored["train_state"],
+                    "epoch": step,
+                    "results": tuple(np.asarray(restored.get("results", (0.0, 0.0)))),
+                }
+                ck.close()
+            else:
+                ckpt = load_native_checkpoint(args.resume)
             self.state = jax.tree_util.tree_map(jnp.asarray, state_from_dict(ckpt["train_state"]))
             self.start_epoch = int(ckpt["epoch"]) + 1
             self.evaluate_results = tuple(ckpt.get("results", (0.0, 0.0)))
@@ -421,24 +448,36 @@ class Trainer:
 
         from yolov6_tpu.core.train_step import state_to_dict
 
-        state_host = jax.device_get(self.state)
-        ckpt = {
-            "train_state": state_to_dict(state_host),
-            "model": {"params": state_host.params, "batch_stats": state_host.batch_stats},
-            "ema": {"params": state_host.ema_params, "batch_stats": state_host.ema_batch_stats},
-            "epoch": self.epoch,
-            "results": [float(v) for v in self.evaluate_results],
-        }
         save_ckpt_dir = osp.join(self.save_dir, "weights")
-        save_checkpoint(
-            ckpt, is_val_epoch and (self.ap == self.best_ap), save_ckpt_dir, "last_ckpt"
-        )
-        if self.epoch >= self.max_epoch - self.args.save_ckpt_on_last_n_epoch:
-            save_checkpoint(ckpt, False, save_ckpt_dir, f"{self.epoch}_ckpt")
-        if self.epoch >= self.max_epoch - self.args.stop_aug_last_n_epoch:
-            if self.best_stop_strong_aug_ap < self.ap:
-                self.best_stop_strong_aug_ap = max(self.ap, self.best_stop_strong_aug_ap)
-                save_checkpoint(ckpt, False, save_ckpt_dir, "best_stop_aug_ckpt")
+        if self.orbax is not None:
+            # async + sharded: no host gather — orbax snapshots the on-device
+            # buffers and the step loop continues while the write completes
+            self.orbax.save(
+                self.epoch,
+                {
+                    "train_state": state_to_dict(self.state),
+                    "results": jnp.asarray(self.evaluate_results, jnp.float32),
+                },
+                metrics={"ap": float(self.ap)},
+            )
+        else:
+            state_host = jax.device_get(self.state)
+            ckpt = {
+                "train_state": state_to_dict(state_host),
+                "model": {"params": state_host.params, "batch_stats": state_host.batch_stats},
+                "ema": {"params": state_host.ema_params, "batch_stats": state_host.ema_batch_stats},
+                "epoch": self.epoch,
+                "results": [float(v) for v in self.evaluate_results],
+            }
+            save_checkpoint(
+                ckpt, is_val_epoch and (self.ap == self.best_ap), save_ckpt_dir, "last_ckpt"
+            )
+            if self.epoch >= self.max_epoch - self.args.save_ckpt_on_last_n_epoch:
+                save_checkpoint(ckpt, False, save_ckpt_dir, f"{self.epoch}_ckpt")
+            if self.epoch >= self.max_epoch - self.args.stop_aug_last_n_epoch:
+                if self.best_stop_strong_aug_ap < self.ap:
+                    self.best_stop_strong_aug_ap = max(self.ap, self.best_stop_strong_aug_ap)
+                    save_checkpoint(ckpt, False, save_ckpt_dir, "best_stop_aug_ckpt")
 
         if self.tblogger and self.mean_loss is not None:
             lr = float(self.solver_cfg["lr0"])
@@ -558,4 +597,24 @@ class Trainer:
             LOGGER.info(
                 f"\nTraining completed in {(time.time() - self.start_time) / 3600:.3f} hours."
             )
-            strip_optimizer(osp.join(self.save_dir, "weights"), self.epoch)
+            if self.orbax is not None:
+                # drain async writes, then export best/latest EMA as stripped
+                # msgpack so eval/export/infer flows are backend-agnostic
+                self.orbax.wait_until_finished()
+                step = self.orbax.best_step()
+                if step is None:
+                    step = self.orbax.latest_step()
+                if step is not None:
+                    restored = self.orbax.restore(step)
+                    ts = restored["train_state"]
+                    save_checkpoint(
+                        {
+                            "model": {"params": ts["ema_params"],
+                                      "batch_stats": ts["ema_batch_stats"]},
+                            "epoch": step,
+                        },
+                        False, osp.join(self.save_dir, "weights"), "best_ckpt",
+                    )
+                self.orbax.close()
+            else:
+                strip_optimizer(osp.join(self.save_dir, "weights"), self.epoch)

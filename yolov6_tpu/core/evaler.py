@@ -70,6 +70,7 @@ class Evaler:
         self.max_nms = max_nms
         self.is_coco = data_dict.get("is_coco", False)
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
+        self.class_names = tuple(data_dict.get("names", ()) or ())
         self.speed_result = np.zeros(4)
         self.do_coco_metric = do_coco_metric
         self.do_pr_metric = do_pr_metric
@@ -193,6 +194,10 @@ class Evaler:
 
         if self.do_pr_metric and stats:
             self._finish_pr_metric(stats, model)
+        if confusion is not None and self.save_dir:
+            names = getattr(self, "class_names", ()) or ()
+            confusion.plot(save_dir=self.save_dir, names=tuple(names))
+            LOGGER.info(f"Saved confusion matrix plot to {self.save_dir}")
         return pred_results
 
     def _pr_stats(self, dets, valid, labels, hw, n_valid, iouv, confusion):
@@ -227,7 +232,12 @@ class Evaler:
         if tp.size == 0:
             self.pr_results = None
             return
-        p, r, ap, f1, classes = ap_per_class(tp, conf, pred_cls, target_cls)
+        names = tuple(getattr(self, "class_names", ()) or ())
+        p, r, ap, f1, classes = ap_per_class(
+            tp, conf, pred_cls, target_cls,
+            plot=self.plot_curve and bool(self.save_dir),
+            save_dir=self.save_dir or ".", names=names,
+        )
         ap50, ap_all = ap[:, 0].mean(), ap.mean()
         LOGGER.info(
             f"PR metric: P={p.mean():.4f} R={r.mean():.4f} F1={f1.mean():.4f} "
@@ -366,6 +376,18 @@ class Evaler:
             f"({1000 / t_fwd:.0f} imgs/s), NMS {t_all - t_fwd:.3f} ms/img, "
             f"total {t_all:.3f} ms/img ({1000 / t_all:.0f} imgs/s)"
         )
+        if self.save_dir:
+            # CSV table like the reference's published speed recipes
+            # (reference: docs/Test_speed.md tables)
+            path = osp.join(self.save_dir, "speed.csv")
+            write_header = not osp.exists(path)
+            with open(path, "a") as f:
+                if write_header:
+                    f.write("batch_size,img_size,fwd_decode_ms_per_img,"
+                            "nms_ms_per_img,total_ms_per_img,imgs_per_sec\n")
+                f.write(f"{batch_size},{self.img_size},{t_fwd:.4f},"
+                        f"{t_all - t_fwd:.4f},{t_all:.4f},{1000 / t_all:.1f}\n")
+            LOGGER.info(f"Appended speed row to {path}")
         return t_fwd, t_all
 
     @staticmethod

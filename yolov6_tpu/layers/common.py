@@ -408,6 +408,50 @@ class RepVGGBlock(nn.Module):
         return apply_act(y, self.act)
 
 
+class PackedRepVGGStem(nn.Module):
+    """Deploy stem over pre-packed space-to-depth input (ops/s2d_stem.py).
+
+    The 3-channel stride-2 3x3 stem runs the MXU at ~1% occupancy; with the
+    host pipeline delivering 2x2-packed [H/2, W/2, 12] input, the identical
+    math becomes a stride-1 2x2 conv over 12 channels. Parameters are
+    declared under the SAME path as the regular deploy stem
+    (``stem/rbr_reparam/{kernel,bias}``, shape [3,3,3,O]) so checkpoints are
+    layout-independent; the packed 2x2 kernel is derived in-graph.
+    """
+
+    out_channels: int
+    act: Optional[str] = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from yolov6_tpu.ops.s2d_stem import convert_stem_kernel_jnp
+
+        in_ch = x.shape[-1] // 4
+
+        class _Params(nn.Module):
+            out_channels: int
+
+            @nn.compact
+            def __call__(self_inner):
+                k = self_inner.param(
+                    "kernel", conv_kernel_init, (3, 3, in_ch, self_inner.out_channels)
+                )
+                b = self_inner.param(
+                    "bias", nn.initializers.zeros, (self_inner.out_channels,)
+                )
+                return k, b
+
+        kernel, bias = _Params(self.out_channels, name="rbr_reparam")()
+        k2 = convert_stem_kernel_jnp(kernel).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k2, (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + bias.astype(self.dtype)
+        return apply_act(y, self.act)
+
+
 @BLOCKS.register()
 class QARepVGGBlock(nn.Module):
     """Quantization-aware RepVGG variant (reference: common.py:322-393):

@@ -19,6 +19,7 @@ from yolov6_tpu.layers.common import (
     Lite_EffiBlockS1,
     Lite_EffiBlockS2,
     MBLABlock,
+    PackedRepVGGStem,
     RepBlock,
     RepVGGBlock,
     SimCSPSPPF,
@@ -45,6 +46,7 @@ class EfficientRep(nn.Module):
     fuse_P2: bool = False
     cspsppf: bool = False
     deploy: bool = False
+    packed_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -52,7 +54,10 @@ class EfficientRep(nn.Module):
         ch, nr = self.channels_list, self.num_repeats
         kw = dict(deploy=self.deploy, dtype=self.dtype)
         outputs = []
-        x = self.block(ch[0], 3, 2, name="stem", **kw)(x, train)
+        if self.packed_stem:
+            x = PackedRepVGGStem(ch[0], dtype=self.dtype, name="stem")(x, train)
+        else:
+            x = self.block(ch[0], 3, 2, name="stem", **kw)(x, train)
         for i in (1, 2, 3, 4):
             x = self.block(ch[i], 3, 2, name=f"ERBlock_{i + 1}.0", **kw)(x, train)
             x = RepBlock(ch[i], n=nr[i], block=self.block, name=f"ERBlock_{i + 1}.1", **kw)(x, train)
@@ -110,6 +115,7 @@ class CSPBepBackbone(nn.Module):
     cspsppf: bool = False
     stage_block_type: str = "BepC3"
     deploy: bool = False
+    packed_stem: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,7 +124,10 @@ class CSPBepBackbone(nn.Module):
         kw = dict(deploy=self.deploy, dtype=self.dtype)
         stage_block = {"BepC3": BepC3, "MBLABlock": MBLABlock}[self.stage_block_type]
         outputs = []
-        x = self.block(ch[0], 3, 2, name="stem", **kw)(x, train)
+        if self.packed_stem:
+            x = PackedRepVGGStem(ch[0], dtype=self.dtype, name="stem")(x, train)
+        else:
+            x = self.block(ch[0], 3, 2, name="stem", **kw)(x, train)
         for i in (1, 2, 3, 4):
             x = self.block(ch[i], 3, 2, name=f"ERBlock_{i + 1}.0", **kw)(x, train)
             x = stage_block(

@@ -75,8 +75,13 @@ def build_network(
     distill_ns: bool = False,
     deploy: bool = False,
     dtype: Any = jnp.float32,
+    packed_stem: bool = False,
 ) -> Model:
-    """Construct the detector from a config (reference: yolo.py:55-133)."""
+    """Construct the detector from a config (reference: yolo.py:55-133).
+
+    packed_stem=True (deploy-only, P5 rep backbones): the model consumes
+    pre-packed space-to-depth input [b, H/2, W/2, 12] (ops/s2d_stem.py) —
+    the MXU-friendly serving layout; parameters are unchanged."""
     if _is_lite(cfg):
         return _build_lite_network(cfg, num_classes, deploy=deploy, dtype=dtype)
 
@@ -108,6 +113,10 @@ def build_network(
         deploy=deploy,
         dtype=dtype,
     )
+    if packed_stem:
+        if not deploy or mcfg.backbone.type not in ("EfficientRep", "CSPBepBackbone"):
+            raise ValueError("packed_stem requires deploy=True and a P5 rep backbone")
+        bb_kwargs.update(packed_stem=True)
     neck_kwargs = dict(
         channels_list=channels_list,
         num_repeats=num_repeat,
@@ -192,10 +201,12 @@ def build_model(
     distill_ns: bool = False,
     deploy: bool = False,
     dtype: Any = jnp.float32,
+    packed_stem: bool = False,
 ) -> Model:
     """Public entry (reference: yolo.py:136-138)."""
     return build_network(
-        cfg, num_classes, fuse_ab=fuse_ab, distill_ns=distill_ns, deploy=deploy, dtype=dtype
+        cfg, num_classes, fuse_ab=fuse_ab, distill_ns=distill_ns, deploy=deploy,
+        dtype=dtype, packed_stem=packed_stem,
     )
 
 

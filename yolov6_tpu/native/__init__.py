@@ -48,6 +48,18 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.yolov6_normalize_rgb.restype = None
     lib.yolov6_normalize_rgb.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+    lib.yolov6_decode_jpeg_file.restype = ctypes.c_int
+    lib.yolov6_decode_jpeg_file.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_long,
+    ]
+    lib.yolov6_batch_decode_letterbox.restype = ctypes.c_int
+    lib.yolov6_batch_decode_letterbox.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint8,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+    ]
     _lib = lib
     return lib
 
@@ -115,3 +127,48 @@ def normalize_rgb_native(im_bgr_u8: np.ndarray) -> np.ndarray:
     out = np.empty(im.shape, np.float32)
     lib.yolov6_normalize_rgb(im.ctypes.data, out.ctypes.data, im.shape[0] * im.shape[1])
     return out
+
+
+def decode_jpeg_native(path: str, max_pixels: int = 0) -> Optional[np.ndarray]:
+    """Decode a JPEG to RGB u8 via libjpeg (with DCT downscale when the
+    image exceeds max_pixels). None on failure or when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = 64 * 1024 * 1024 * 3
+    buf = np.empty(cap, np.uint8)
+    h, w = ctypes.c_int(0), ctypes.c_int(0)
+    rc = lib.yolov6_decode_jpeg_file(
+        path.encode(), buf.ctypes.data, cap, ctypes.byref(h), ctypes.byref(w),
+        max_pixels,
+    )
+    if rc != 0:
+        return None
+    return buf[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def batch_decode_letterbox_native(
+    paths,
+    new_shape: Tuple[int, int],
+    scaleup: bool = False,
+    pad_value: int = 114,
+    n_threads: int = 8,
+):
+    """Decode + letterbox a batch of JPEGs in parallel native threads
+    (GIL-free). Returns (batch [n,H,W,3] RGB u8, ratios [n], pads [n,2],
+    src_hw [n,2], n_failed) or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, new_shape[0], new_shape[1], 3), np.uint8)
+    ratios = np.empty(n, np.float32)
+    pads = np.empty((n, 2), np.int32)
+    src_hw = np.empty((n, 2), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failed = lib.yolov6_batch_decode_letterbox(
+        arr, n, out.ctypes.data, new_shape[0], new_shape[1],
+        int(scaleup), pad_value,
+        ratios.ctypes.data, pads.ctypes.data, src_hw.ctypes.data, n_threads,
+    )
+    return out, ratios, pads, src_hw, failed

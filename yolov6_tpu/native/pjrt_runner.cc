@@ -43,6 +43,7 @@ extern "C" {
 float yolov6_letterbox(const uint8_t*, int, int, uint8_t*, int, int, int,
                        uint8_t, int*, int*);
 int yolov6_nms(const float*, int, float, int, int, int*);
+int yolov6_decode_jpeg_file(const char*, uint8_t*, long, int*, int*, long);
 }
 
 namespace {
@@ -446,7 +447,19 @@ int main(int argc, char** argv) {
 
   // ── image prep (native letterbox; reference yolov6.cpp:static_resize) ──
   Image src;
-  if (!image_path.empty()) {
+  if (!image_path.empty() &&
+      (image_path.size() > 4 &&
+       (image_path.compare(image_path.size() - 4, 4, ".jpg") == 0 ||
+        image_path.compare(image_path.size() - 5, 5, ".jpeg") == 0))) {
+    const long cap = 64L * 1024 * 1024 * 3;
+    std::vector<uint8_t> buf(cap);
+    int h = 0, w = 0;
+    if (yolov6_decode_jpeg_file(image_path.c_str(), buf.data(), cap, &h, &w, 0))
+      Fail("JPEG decode failed: " + image_path);
+    src.h = h;
+    src.w = w;
+    src.rgb.assign(buf.begin(), buf.begin() + static_cast<size_t>(h) * w * 3);
+  } else if (!image_path.empty()) {
     src = ReadPpm(image_path);
   } else {
     src.h = 480;

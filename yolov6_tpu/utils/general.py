@@ -31,6 +31,11 @@ def find_latest_checkpoint(search_dir="."):
     ckpts = glob.glob(f"{search_dir}/**/last*_ckpt*", recursive=True) + glob.glob(
         f"{search_dir}/**/last*.npz", recursive=True
     )
+    # orbax roots (weights/orbax/<step>/...) count as resumable checkpoints
+    ckpts += [
+        d for d in glob.glob(f"{search_dir}/**/weights/orbax", recursive=True)
+        if os.path.isdir(d)
+    ]
     return max(ckpts, key=os.path.getctime) if ckpts else ""
 
 

@@ -3,6 +3,7 @@ ultralytics-style). Used by the evaler's --do_pr_metric path."""
 
 from __future__ import annotations
 
+import os.path as osp
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -28,6 +29,8 @@ def ap_per_class(tp, conf, pred_cls, target_cls, plot=False, save_dir=".", names
 
     tp: [n_pred, n_iou_thrs] bool TP matrix; conf/pred_cls: [n_pred];
     target_cls: [n_gt]. Returns (p, r, ap, f1, unique_classes).
+    With plot=True renders PR / F1-P-R-vs-confidence curves into save_dir
+    (reference: metrics.py plot_pr_curve / plot_mc_curve).
     """
     i = np.argsort(-conf)
     tp, conf, pred_cls = tp[i], conf[i], pred_cls[i]
@@ -35,6 +38,7 @@ def ap_per_class(tp, conf, pred_cls, target_cls, plot=False, save_dir=".", names
     nc = unique_classes.shape[0]
 
     px = np.linspace(0, 1, 1000)
+    py = []
     ap = np.zeros((nc, tp.shape[1]))
     p_curve = np.zeros((nc, 1000))
     r_curve = np.zeros((nc, 1000))
@@ -51,12 +55,75 @@ def ap_per_class(tp, conf, pred_cls, target_cls, plot=False, save_dir=".", names
         r_curve[ci] = np.interp(-px, -conf[mask], recall[:, 0], left=0)
         p_curve[ci] = np.interp(-px, -conf[mask], precision[:, 0], left=1)
         for j in range(tp.shape[1]):
-            ap[ci, j], _, _ = compute_ap(recall[:, j], precision[:, j])
+            ap[ci, j], mpre, mrec = compute_ap(recall[:, j], precision[:, j])
+            if plot and j == 0:
+                py.append(np.interp(px, mrec, mpre))
 
     f1_curve = 2 * p_curve * r_curve / (p_curve + r_curve + 1e-16)
+    if plot:
+        names_map = {int(c): (names[int(c)] if int(c) < len(names) else str(int(c)))
+                     for c in unique_classes}
+        plot_pr_curve(px, py, ap, osp.join(save_dir, "PR_curve.png"), names_map)
+        plot_mc_curve(px, f1_curve, osp.join(save_dir, "F1_curve.png"), names_map, ylabel="F1")
+        plot_mc_curve(px, p_curve, osp.join(save_dir, "P_curve.png"), names_map, ylabel="Precision")
+        plot_mc_curve(px, r_curve, osp.join(save_dir, "R_curve.png"), names_map, ylabel="Recall")
     i_best = f1_curve.mean(0).argmax()
     p, r, f1 = p_curve[:, i_best], r_curve[:, i_best], f1_curve[:, i_best]
     return p, r, ap, f1, unique_classes.astype(int)
+
+
+def _agg_axes():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1, 1, figsize=(9, 6), tight_layout=True)
+    return plt, fig, ax
+
+
+def plot_pr_curve(px, py, ap, save_path, names):
+    """PR curves per class + mean (reference: metrics.py plot_pr_curve)."""
+    plt, fig, ax = _agg_axes()
+    py = np.stack(py, axis=1) if py else np.zeros((len(px), 0))
+    if 0 < py.shape[1] < 21:
+        for i, c in enumerate(sorted(names)):
+            if i < py.shape[1]:
+                ax.plot(px, py[:, i], linewidth=1,
+                        label=f"{names[c]} {ap[i, 0]:.3f}")
+    else:
+        ax.plot(px, py, linewidth=1, color="grey")
+    if py.shape[1]:
+        ax.plot(px, py.mean(1), linewidth=3, color="blue",
+                label=f"all classes {ap[:, 0].mean():.3f} mAP@0.5")
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
+
+
+def plot_mc_curve(px, py, save_path, names, xlabel="Confidence", ylabel="Metric"):
+    """Metric-vs-confidence curves (reference: metrics.py plot_mc_curve)."""
+    plt, fig, ax = _agg_axes()
+    if 0 < len(py) < 21:
+        for i, c in enumerate(sorted(names)):
+            if i < len(py):
+                ax.plot(px, py[i], linewidth=1, label=names[c])
+    else:
+        ax.plot(px, py.T, linewidth=1, color="grey")
+    y = py.mean(0)
+    ax.plot(px, y, linewidth=3, color="blue",
+            label=f"all classes {y.max():.2f} at {px[y.argmax()]:.3f}")
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.legend(bbox_to_anchor=(1.04, 1), loc="upper left")
+    fig.savefig(save_path, dpi=250)
+    plt.close(fig)
 
 
 def box_iou_np(box1: np.ndarray, box2: np.ndarray) -> np.ndarray:
@@ -136,3 +203,29 @@ class ConfusionMatrix:
     def print(self):
         for i in range(self.nc + 1):
             print(" ".join(map(str, self.matrix[i])))
+
+    def plot(self, save_dir=".", names=()):
+        """Render the matrix as a normalized heatmap PNG (reference:
+        metrics.py ConfusionMatrix.plot, seaborn there; matplotlib here)."""
+        plt, fig, ax = _agg_axes()
+        m = self.matrix / (self.matrix.sum(0, keepdims=True) + 1e-6)
+        m_disp = np.where(m < 0.005, np.nan, m)
+        im = ax.imshow(m_disp, cmap="Blues", vmin=0.0, vmax=1.0)
+        fig.colorbar(im, ax=ax)
+        labels = list(names) + ["background"] if 0 < len(names) == self.nc else None
+        n = self.nc + 1
+        if labels and n <= 30:
+            ax.set_xticks(range(n))
+            ax.set_yticks(range(n))
+            ax.set_xticklabels(labels, rotation=90, fontsize=6)
+            ax.set_yticklabels(labels, fontsize=6)
+        if n <= 30:
+            for i in range(n):
+                for j in range(n):
+                    if np.isfinite(m_disp[i, j]):
+                        ax.text(j, i, f"{m[i, j]:.2f}", ha="center", va="center",
+                                fontsize=5, color="black" if m[i, j] < 0.6 else "white")
+        ax.set_xlabel("True")
+        ax.set_ylabel("Predicted")
+        fig.savefig(osp.join(save_dir, "confusion_matrix.png"), dpi=250)
+        plt.close(fig)

@@ -1,0 +1,127 @@
+"""Orbax checkpoint backend: async + sharded, for multi-host training.
+
+The msgpack backend (utils/checkpoint.py) device_gets the full state and
+writes it synchronously from one process — fine single-host, but at pod
+scale it stalls the step loop and funnels every shard through host 0.
+This backend wraps ``orbax.checkpoint.CheckpointManager``:
+
+- **async**: the save runs in a background thread; the train loop continues
+  as soon as the on-device buffers are snapshotted.
+- **sharded**: under a mesh each host writes exactly the array shards it
+  owns (OCDBT format), and restore reads back only the local shards when
+  given an abstract target with shardings.
+- **atomic + retention**: per-step directories with atomic finalize,
+  ``max_to_keep`` pruning, and a best-metric tracker.
+
+Plays the role of the reference's torch.save checkpoint cadence
+(reference: core/engine.py:191-213, utils/checkpoint.py:35-43) at scales
+where that design doesn't hold up.
+
+Select with ``tools/train.py --ckpt-backend orbax``; resume autodetects the
+backend from what is on disk.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import jax
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    """True if `path` is an orbax CheckpointManager root or step dir."""
+    if not osp.isdir(path):
+        return False
+    if osp.exists(osp.join(path, "_CHECKPOINT_METADATA")):
+        return True
+    return any(
+        d.isdigit() and osp.isdir(osp.join(path, d)) for d in os.listdir(path)
+    )
+
+
+class OrbaxCheckpointer:
+    """Thin wrapper: save(step, state_dict, metrics) / restore / best_step."""
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: Optional[int] = None,
+        async_save: bool = True,
+        best_metric: str = "ap",
+    ):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        os.makedirs(directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=async_save,
+            # keep the best-AP step out of max_to_keep pruning
+            best_fn=(lambda m: m.get(best_metric, 0.0)),
+            best_mode="max",
+            keep_checkpoints_without_metrics=True,
+        )
+        self.manager = ocp.CheckpointManager(
+            osp.abspath(directory), options=options
+        )
+
+    def save(self, step: int, state: Dict[str, Any], metrics: Optional[dict] = None):
+        """Async-save a pytree of (possibly sharded, on-device) arrays."""
+        ocp = self._ocp
+        self.manager.save(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardSave(state)),
+            metrics=dict(metrics or {}),
+        )
+
+    def restore(self, step: Optional[int] = None, target: Any = None) -> Dict[str, Any]:
+        """Restore `step` (default: latest). `target` is an abstract pytree
+        (jax.ShapeDtypeStruct leaves, optionally with .sharding) — with
+        shardings set, each host reads only its shards."""
+        ocp = self._ocp
+        if step is None:
+            step = self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError("no orbax checkpoint steps found")
+        restore_args = (
+            ocp.args.StandardRestore(target) if target is not None
+            else ocp.args.StandardRestore()
+        )
+        out = self.manager.restore(step, args=ocp.args.Composite(state=restore_args))
+        return out["state"]
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def best_step(self) -> Optional[int]:
+        return self.manager.best_step()
+
+    def wait_until_finished(self):
+        self.manager.wait_until_finished()
+
+    def close(self):
+        self.manager.wait_until_finished()
+        self.manager.close()
+
+
+def abstract_target_like(state, mesh=None, replicated: bool = True):
+    """Abstract restore target from a concrete (or eval_shape'd) state.
+
+    With a mesh, annotates every leaf with a fully-replicated NamedSharding
+    (the data-parallel layout of TrainState params) so restore places shards
+    directly on devices without a host round-trip.
+    """
+    import jax.numpy as jnp  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def leaf(x):
+        s = jax.ShapeDtypeStruct(jnp.shape(x), x.dtype)
+        if mesh is not None and replicated:
+            s = jax.ShapeDtypeStruct(
+                jnp.shape(x), x.dtype, sharding=NamedSharding(mesh, PartitionSpec())
+            )
+        return s
+
+    return jax.tree_util.tree_map(leaf, state)
