@@ -53,6 +53,10 @@ def get_args_parser(add_help=True):
                         help="evaluate an exported StableHLO end2end artifact "
                              "(the reference's TRT-engine eval analog)")
     parser.add_argument("--do_pr_metric", action="store_true")
+    parser.add_argument("--plot_curve", default=True,
+                        type=lambda s: s.lower() not in ("false", "0", "no"),
+                        help="save PR/F1/P/R curve PNGs with --do_pr_metric "
+                             "(reference: tools/eval.py:42)")
     parser.add_argument("--plot_confusion_matrix", action="store_true")
     return parser
 
@@ -142,7 +146,8 @@ def main(args):
         args.conf_thres, args.iou_thres, args.task, args.half,
         save_dir=save_dir, shrink_size=args.shrink_size,
         infer_on_rect=args.infer_on_rect, verbose=args.verbose,
-        do_pr_metric=args.do_pr_metric, plot_confusion_matrix=args.plot_confusion_matrix,
+        do_pr_metric=args.do_pr_metric, plot_curve=args.plot_curve,
+        plot_confusion_matrix=args.plot_confusion_matrix,
         specific_shape=args.specific_shape, height=args.height, width=args.width,
         artifact=args.artifact,
     )

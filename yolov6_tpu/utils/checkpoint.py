@@ -87,6 +87,30 @@ def load_checkpoint_variables(
         return import_checkpoint(state, spec, training_mode=training_mode, deploy=deploy)
     ckpt = load_native_checkpoint(weights)
     variables = ckpt.get("ema") or ckpt.get("model") or ckpt
+
+    def _paths(tree, prefix=()):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= _paths(v, prefix + (k,))
+            else:
+                out.add(prefix + (k,))
+        return out
+
+    if _paths(variables) != _paths({k: dict(v) for k, v in spec.items()}):
+        # train-layout native checkpoint loaded into a deploy graph: go
+        # through the same fold-at-load path as reference .pt imports
+        from yolov6_tpu.utils.torch_import import (
+            import_checkpoint,
+            native_variables_to_torch_state,
+        )
+
+        LOGGER.info(
+            f"Folding train-layout native checkpoint {weights} to the target "
+            f"graph (training_mode={training_mode}, deploy={deploy})"
+        )
+        state = native_variables_to_torch_state(variables)
+        return import_checkpoint(state, spec, training_mode=training_mode, deploy=deploy)
     return jax.tree_util.tree_map(jnp.asarray, variables)
 
 

@@ -188,6 +188,36 @@ _TRAIN_LEAF_MAP = {
 _DP_BN_SIBLING = {"conv_dw_1": "bn_1", "conv_pw_1": "bn_2"}
 
 
+def native_variables_to_torch_state(variables) -> Dict[str, np.ndarray]:
+    """Flatten native train-layout flax variables into a torch-style flat
+    state dict (OIHW), the exact inverse of import_checkpoint's name/layout
+    mapping — so natively-trained checkpoints reuse the same fold-at-load
+    path (rep-branch + conv+BN fusion) as reference ``.pt`` imports.
+    """
+    flat = _flatten(
+        {k: dict(v) for k, v in variables.items() if k in ("params", "batch_stats")}
+    )
+    out: Dict[str, np.ndarray] = {}
+    for path, value in flat.items():
+        col, mods, leaf_name = path[0], path[1:-1], path[-1]
+        suffix = _TRAIN_LEAF_MAP.get((col, leaf_name))
+        if suffix is None:
+            continue
+        v = np.asarray(value, np.float32)
+        if leaf_name == "kernel" and v.ndim == 4:
+            if v.shape[:2] == (2, 2) and mods and mods[-1].startswith("upsample"):
+                # Transpose block (kh,kw,in,out) -> the nested-ConvTranspose
+                # key import_checkpoint probes for, in torch (in,out,kh,kw)
+                out[".".join(mods) + ".upsample_transpose." + suffix] = (
+                    np.ascontiguousarray(np.transpose(v, (2, 3, 0, 1)))
+                )
+                continue
+            v = np.ascontiguousarray(np.transpose(v, (3, 2, 0, 1)))
+        key = ".".join(mods)
+        out[(key + "." if key else "") + suffix] = v
+    return out
+
+
 def import_checkpoint(
     state: Dict[str, np.ndarray],
     target_spec,
