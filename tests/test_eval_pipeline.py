@@ -155,3 +155,42 @@ def test_eval_pipeline_shifted_boxes_degrade(synthetic_dataset, tmp_path):
     ap50, ap = evaler.eval_model(pred_results, None, loader)
     assert ap50 > 0.99
     assert ap < 0.95
+
+
+def test_eval_data_parallel_matches_single_device(synthetic_dataset, tmp_path):
+    """Batch-sharded SPMD eval (8 virtual devices) must produce the same
+    detections as single-device eval — validates Evaler's mesh path
+    (init_model in_shardings + _device_put)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov6_tpu.models.yolo import build_model
+    from yolov6_tpu.utils.config import Config
+
+    assert jax.device_count() == 8  # conftest virtual mesh
+
+    data_dict = {"nc": 3, "names": ["a", "b", "c"], "is_coco": False, "val": synthetic_dataset}
+    cfg = Config.fromfile("/root/repo/configs/yolov6n.py")
+    model = build_model(cfg, num_classes=3, deploy=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+    )
+
+    def run(data_parallel):
+        ev = Evaler(
+            dict(data_dict), batch_size=8, img_size=64, conf_thres=0.01, half=False,
+            save_dir=str(tmp_path), data_parallel=data_parallel,
+        )
+        ev.init_model(model, variables)
+        if data_parallel:
+            assert ev.mesh is not None
+        loader = ev.init_data(None, "val")
+        return ev.predict_model(model, loader, "val")
+
+    preds_dp = run(True)
+    preds_sd = run(False)
+    assert len(preds_dp) == len(preds_sd)
+    for a, b in zip(preds_dp, preds_sd):
+        assert a["image_id"] == b["image_id"] and a["category_id"] == b["category_id"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)

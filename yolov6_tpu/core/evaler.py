@@ -48,6 +48,7 @@ class Evaler:
         do_pr_metric: bool = False,
         plot_curve: bool = False,
         plot_confusion_matrix: bool = False,
+        data_parallel: bool = True,
     ):
         self.data = data_dict
         self.batch_size = batch_size
@@ -77,6 +78,17 @@ class Evaler:
         self.plot_curve = plot_curve
         self.plot_confusion_matrix = plot_confusion_matrix
         self.pr_results = None
+        # ---- multi-chip: shard the eval batch across a 1-D data mesh (the
+        # serving/eval analog of DDP inference; SPMD — one jit, XLA splits
+        # the batch over ICI-connected chips, NMS included)
+        self.mesh = None
+        if data_parallel and jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+            from yolov6_tpu.parallel.mesh import create_mesh
+
+            self.mesh = create_mesh()
+            LOGGER.info(
+                f"eval: sharding batch {batch_size} across {jax.device_count()} devices"
+            )
 
     # ------------------------------------------------------------ model/data
 
@@ -93,15 +105,31 @@ class Evaler:
                 max_nms=self.max_nms, multi_label=True,
             )
 
-        self._infer = jax.jit(_infer)
-        self._forward_only = jax.jit(
-            lambda variables, imgs_u8: model.apply(
-                variables, imgs_u8.astype(dtype) / dtype(255.0), train=False
-            )
-        )
+        def _forward(variables, imgs_u8):
+            return model.apply(variables, imgs_u8.astype(dtype) / dtype(255.0), train=False)
+
+        if self.mesh is not None:
+            from yolov6_tpu.parallel.mesh import batch_sharding, replicate_state, replicated
+
+            rep, shd = replicated(self.mesh), batch_sharding(self.mesh)
+            variables = replicate_state(self.mesh, variables)
+            self._infer = jax.jit(_infer, in_shardings=(rep, shd))
+            self._forward_only = jax.jit(_forward, in_shardings=(rep, shd))
+        else:
+            self._infer = jax.jit(_infer)
+            self._forward_only = jax.jit(_forward)
         self.model = model
         self.variables = variables
         return model
+
+    def _device_put(self, imgs):
+        """Host batch -> device array, batch-sharded across the mesh when
+        data-parallel eval is active."""
+        if self.mesh is not None:
+            from yolov6_tpu.parallel.mesh import batch_sharding
+
+            return jax.device_put(np.asarray(imgs), batch_sharding(self.mesh))
+        return jnp.asarray(imgs)
 
     def init_artifact(self, path: str, num_classes: int = 80):
         """Evaluate an exported StableHLO end-to-end artifact instead of a
@@ -174,7 +202,7 @@ class Evaler:
         n_batches = len(dataloader)
         for bi, (imgs, labels, paths, shapes, n_valid) in enumerate(dataloader):
             t1 = time.time()
-            imgs_dev = jnp.asarray(imgs)
+            imgs_dev = self._device_put(imgs)
             dets, valid = self._infer(self.variables, imgs_dev)
             dets = np.asarray(jax.device_get(dets))
             valid = np.asarray(jax.device_get(valid))
