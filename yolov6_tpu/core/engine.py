@@ -214,7 +214,10 @@ class Trainer:
         #      orbax: async + sharded for multi-host — utils/orbax_ckpt.py)
         self.ckpt_backend = getattr(args, "ckpt_backend", "msgpack")
         self.orbax = None
-        if self.ckpt_backend == "orbax" and self.main_process:
+        # NOTE: created on EVERY process — orbax save/restore are collective
+        # (each host writes/reads the shards it owns); only the msgpack
+        # backend is main-process-only.
+        if self.ckpt_backend == "orbax":
             from yolov6_tpu.utils.orbax_ckpt import OrbaxCheckpointer
 
             self.orbax = OrbaxCheckpointer(
@@ -430,6 +433,8 @@ class Trainer:
     def after_epoch(self):
         """eval cadence + checkpointing (reference: engine.py:178-220)."""
         if not self.main_process:
+            if self.orbax is not None:
+                self._orbax_save()  # collective: non-main hosts participate
             return
         remaining_epochs = self.max_epoch - 1 - self.epoch
         eval_interval = (
@@ -450,16 +455,7 @@ class Trainer:
 
         save_ckpt_dir = osp.join(self.save_dir, "weights")
         if self.orbax is not None:
-            # async + sharded: no host gather — orbax snapshots the on-device
-            # buffers and the step loop continues while the write completes
-            self.orbax.save(
-                self.epoch,
-                {
-                    "train_state": state_to_dict(self.state),
-                    "results": jnp.asarray(self.evaluate_results, jnp.float32),
-                },
-                metrics={"ap": float(self.ap)},
-            )
+            self._orbax_save()
         else:
             state_host = jax.device_get(self.state)
             ckpt = {
@@ -485,6 +481,26 @@ class Trainer:
                 self.tblogger, self.epoch, self.evaluate_results,
                 [lr, lr, lr], list(self.mean_loss[:3]),
             )
+
+    def _orbax_save(self):
+        """Collective async checkpoint — called on every host (each writes
+        its own shards). evaluate_results are broadcast from process 0 so
+        saved values and best-metric tracking are host-consistent."""
+        from yolov6_tpu.core.train_step import state_to_dict
+
+        results = np.asarray(self.evaluate_results, np.float32)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            results = np.asarray(multihost_utils.broadcast_one_to_all(results))
+        self.orbax.save(
+            self.epoch,
+            {
+                "train_state": state_to_dict(self.state),
+                "results": jnp.asarray(results),
+            },
+            metrics={"ap": float(results[1])},
+        )
 
     def eval_model(self):
         """In-training eval on the EMA weights (reference: engine.py:222-269);
@@ -597,16 +613,19 @@ class Trainer:
             LOGGER.info(
                 f"\nTraining completed in {(time.time() - self.start_time) / 3600:.3f} hours."
             )
-            if self.orbax is not None:
-                # drain async writes, then export best/latest EMA as stripped
-                # msgpack so eval/export/infer flows are backend-agnostic
-                self.orbax.wait_until_finished()
-                step = self.orbax.best_step()
-                if step is None:
-                    step = self.orbax.latest_step()
-                if step is not None:
-                    restored = self.orbax.restore(step)
-                    ts = restored["train_state"]
+        if self.orbax is not None:
+            # drain async writes, then export best/latest EMA as stripped
+            # msgpack so eval/export/infer flows are backend-agnostic.
+            # wait/restore are collective — every host participates; only
+            # the msgpack write is main-only.
+            self.orbax.wait_until_finished()
+            step = self.orbax.best_step()
+            if step is None:
+                step = self.orbax.latest_step()
+            if step is not None:
+                restored = self.orbax.restore(step)
+                ts = restored["train_state"]
+                if self.main_process:
                     save_checkpoint(
                         {
                             "model": {"params": ts["ema_params"],
@@ -615,6 +634,6 @@ class Trainer:
                         },
                         False, osp.join(self.save_dir, "weights"), "best_ckpt",
                     )
-                self.orbax.close()
-            else:
-                strip_optimizer(osp.join(self.save_dir, "weights"), self.epoch)
+            self.orbax.close()
+        elif self.main_process:
+            strip_optimizer(osp.join(self.save_dir, "weights"), self.epoch)
