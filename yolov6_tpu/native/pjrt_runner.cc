@@ -14,6 +14,13 @@
 // Usage:
 //   pjrt_runner --artifact DIR [--image in.ppm] [--out out.ppm]
 //               [--plugin /opt/axon/libaxon_pjrt.so] [--loops N]
+//   pjrt_runner --artifact DIR --image-dir DIR [--threads N]
+//
+// --image-dir is the batched serving mode: JPEGs are decoded + letterboxed
+// by the native thread pool (dataload.cc), the next batch is staged while
+// the current one executes, and per-image detections print as each batch
+// completes — the C++ throughput-serving analog of the reference's
+// `trtexec`-style batch path.
 //
 // The artifact directory contains module.stablehlo.bc, compile_options.pb
 // and manifest.json (see yolov6_tpu/models/end2end.py:write_native_artifact).
@@ -22,6 +29,7 @@
 //
 // Build: make -C yolov6_tpu/native pjrt_runner
 
+#include <dirent.h>
 #include <dlfcn.h>
 #include <unistd.h>
 
@@ -35,6 +43,7 @@
 #include <fstream>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 #include "tensorflow/compiler/xla/pjrt/c/pjrt_c_api.h"
@@ -44,6 +53,8 @@ float yolov6_letterbox(const uint8_t*, int, int, uint8_t*, int, int, int,
                        uint8_t, int*, int*);
 int yolov6_nms(const float*, int, float, int, int, int*);
 int yolov6_decode_jpeg_file(const char*, uint8_t*, long, int*, int*, long);
+int yolov6_batch_decode_letterbox(const char**, int, uint8_t*, int, int, int,
+                                  uint8_t, float*, int*, int*, int);
 }
 
 namespace {
@@ -393,12 +404,16 @@ struct PjrtSession {
       ta.dst_size = hosts[i].size();
       Check(api, api->PJRT_Buffer_ToHostBuffer(&ta), "device->host");
       AwaitEvent(api, ta.event, "copy done");
-      PJRT_Buffer_Destroy_Args bd;
-      std::memset(&bd, 0, sizeof bd);
-      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-      bd.buffer = outs[i];
-      api->PJRT_Buffer_Destroy(&bd);
+      DestroyBuffer(outs[i]);
     }
+  }
+
+  void DestroyBuffer(PJRT_Buffer* b) {
+    PJRT_Buffer_Destroy_Args bd;
+    std::memset(&bd, 0, sizeof bd);
+    bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    bd.buffer = b;
+    api->PJRT_Buffer_Destroy(&bd);
   }
 };
 
@@ -407,12 +422,81 @@ struct Det {
   int cls;
 };
 
+// Detections for image `b` of the batch from fetched outputs — the in-graph
+// NMS path (end2end) or native candidate filter + greedy NMS (reference
+// yolov6.cpp:generate_yolo_proposals + nms_sorted_bboxes).
+std::vector<Det> ExtractDets(const std::vector<std::vector<uint8_t>>& hosts,
+                             const std::vector<TensorSpec>& out_specs,
+                             bool end2end, int b, int num_classes,
+                             float conf_thres, float iou_thres, int max_det) {
+  std::vector<Det> dets;
+  if (end2end) {
+    // outputs: num_dets [b,1] i32, boxes [b,max_det,4] f32,
+    //          scores [b,max_det] f32, classes [b,max_det] i32
+    const int md = static_cast<int>(out_specs[1].shape[1]);
+    const int n = reinterpret_cast<const int32_t*>(hosts[0].data())[b];
+    const float* boxes =
+        reinterpret_cast<const float*>(hosts[1].data()) + static_cast<size_t>(b) * md * 4;
+    const float* scores =
+        reinterpret_cast<const float*>(hosts[2].data()) + static_cast<size_t>(b) * md;
+    const int32_t* classes =
+        reinterpret_cast<const int32_t*>(hosts[3].data()) + static_cast<size_t>(b) * md;
+    for (int i = 0; i < n && i < md; ++i) {
+      dets.push_back({boxes[i * 4 + 0], boxes[i * 4 + 1], boxes[i * 4 + 2],
+                      boxes[i * 4 + 3], scores[i], classes[i]});
+    }
+  } else {
+    // raw decode output [b, A, 5+nc]
+    const TensorSpec& os = out_specs[0];
+    const int A = static_cast<int>(os.shape[1]);
+    const int C = static_cast<int>(os.shape[2]);
+    const float* pred = reinterpret_cast<const float*>(hosts[0].data()) +
+                        static_cast<size_t>(b) * A * C;
+    std::vector<float> rows;
+    for (int a = 0; a < A; ++a) {
+      const float* p = pred + static_cast<size_t>(a) * C;
+      float obj = p[4];
+      int best = 0;
+      float best_s = 0;
+      for (int c = 0; c < num_classes && 5 + c < C; ++c) {
+        if (p[5 + c] > best_s) { best_s = p[5 + c]; best = c; }
+      }
+      float score = obj * best_s;
+      if (score < conf_thres) continue;
+      float cx = p[0], cy = p[1], w = p[2], h = p[3];
+      rows.insert(rows.end(), {cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2,
+                               score, static_cast<float>(best)});
+    }
+    int n = static_cast<int>(rows.size() / 6);
+    std::vector<int> keep(std::max(n, 1));
+    int kept = yolov6_nms(rows.data(), n, iou_thres, /*agnostic=*/0, max_det,
+                          keep.data());
+    for (int i = 0; i < kept; ++i) {
+      const float* d = rows.data() + keep[i] * 6;
+      dets.push_back({d[0], d[1], d[2], d[3], d[4], static_cast<int>(d[5])});
+    }
+  }
+  return dets;
+}
+
+// Letterboxed net coords -> source image coords (reference: inferer rescale).
+void RescaleDets(std::vector<Det>& dets, float ratio, int pad_x, int pad_y,
+                 int src_h, int src_w) {
+  for (auto& d : dets) {
+    d.x1 = std::max(0.f, std::min((d.x1 - pad_x) / ratio, static_cast<float>(src_w - 1)));
+    d.y1 = std::max(0.f, std::min((d.y1 - pad_y) / ratio, static_cast<float>(src_h - 1)));
+    d.x2 = std::max(0.f, std::min((d.x2 - pad_x) / ratio, static_cast<float>(src_w - 1)));
+    d.y2 = std::max(0.f, std::min((d.y2 - pad_y) / ratio, static_cast<float>(src_h - 1)));
+  }
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
-  std::string artifact, image_path, out_path;
+  std::string artifact, image_path, out_path, image_dir;
   std::string plugin = "/opt/axon/libaxon_pjrt.so";
   int loops = 1;
+  int threads = 8;
   float conf_override = -1.f;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
@@ -422,9 +506,11 @@ int main(int argc, char** argv) {
     };
     if (a == "--artifact") artifact = next();
     else if (a == "--image") image_path = next();
+    else if (a == "--image-dir") image_dir = next();
     else if (a == "--out") out_path = next();
     else if (a == "--plugin") plugin = next();
     else if (a == "--loops") loops = std::atoi(next().c_str());
+    else if (a == "--threads") threads = std::atoi(next().c_str());
     else if (a == "--conf") conf_override = std::atof(next().c_str());
     else Fail("unknown flag " + a);
   }
@@ -444,6 +530,130 @@ int main(int argc, char** argv) {
   const int net_h = static_cast<int>(in_spec.shape[1]);
   const int net_w = static_cast<int>(in_spec.shape[2]);
   const int batch = static_cast<int>(in_spec.shape[0]);
+
+  // ── batched serving mode: stream a directory of JPEGs ──
+  if (!image_dir.empty()) {
+    std::vector<std::string> files;
+    DIR* dir = opendir(image_dir.c_str());
+    if (!dir) Fail("cannot open dir " + image_dir);
+    while (dirent* e = readdir(dir)) {
+      std::string n = e->d_name;
+      auto ends = [&](const char* s) {
+        size_t l = std::strlen(s);
+        return n.size() > l && n.compare(n.size() - l, l, s) == 0;
+      };
+      if (ends(".jpg") || ends(".jpeg") || ends(".JPG") || ends(".JPEG"))
+        files.push_back(image_dir + "/" + n);
+    }
+    closedir(dir);
+    std::sort(files.begin(), files.end());
+    if (files.empty()) Fail("no JPEG images in " + image_dir);
+
+    PjrtSession s;
+    std::string session_id = "yolov6-pjrt-serve-" + std::to_string(::getpid());
+    s.Open(plugin, session_id);
+    PJRT_LoadedExecutable* exe = s.Compile(LoadFile(artifact + "/module.stablehlo.bc"),
+                                           LoadFile(artifact + "/compile_options.pb"));
+
+    const size_t px = static_cast<size_t>(net_h) * net_w;
+    const bool u8_in = in_spec.dtype == "uint8";
+    const int n_img = static_cast<int>(files.size());
+    const int n_batches = (n_img + batch - 1) / batch;
+
+    struct Staged {
+      std::vector<uint8_t> raw;  // letterboxed RGB [batch, H, W, 3]
+      std::vector<uint8_t> u8;
+      std::vector<float> f32;
+      std::vector<float> ratios;
+      std::vector<int> pads, src_hw;
+      int start = 0, count = 0;
+    } bufs[2];
+    for (auto& st : bufs) {
+      st.raw.resize(static_cast<size_t>(batch) * px * 3);
+      st.ratios.resize(batch);
+      st.pads.resize(2 * batch);
+      st.src_hw.resize(2 * batch);
+      if (u8_in) st.u8.resize(in_spec.elems());
+      else st.f32.resize(in_spec.elems());
+    }
+
+    auto stage = [&](int bi, Staged& st) {
+      st.start = bi * batch;
+      st.count = std::min(batch, n_img - st.start);
+      std::vector<const char*> cp(batch);
+      for (int i = 0; i < batch; ++i)  // tail batch repeats the last image
+        cp[i] = files[std::min(st.start + i, n_img - 1)].c_str();
+      yolov6_batch_decode_letterbox(cp.data(), batch, st.raw.data(), net_h, net_w,
+                                    /*scaleup=*/0, 114, st.ratios.data(),
+                                    st.pads.data(), st.src_hw.data(), threads);
+      if (u8_in && with_preprocess) {  // graph wants u8 BGR
+        for (size_t p = 0; p < static_cast<size_t>(batch) * px; ++p) {
+          st.u8[p * 3 + 0] = st.raw[p * 3 + 2];
+          st.u8[p * 3 + 1] = st.raw[p * 3 + 1];
+          st.u8[p * 3 + 2] = st.raw[p * 3 + 0];
+        }
+      } else if (u8_in) {
+        std::memcpy(st.u8.data(), st.raw.data(), st.raw.size());
+      } else {  // f32 RGB /255
+        for (size_t p = 0; p < st.raw.size(); ++p) st.f32[p] = st.raw[p] / 255.0f;
+      }
+    };
+
+    auto ms = [](auto a, auto b) {
+      return std::chrono::duration<double, std::milli>(b - a).count();
+    };
+
+    // warmup (compile-side caches, tunnel setup) outside the timed loop
+    stage(0, bufs[0]);
+    {
+      const void* data = u8_in ? static_cast<const void*>(bufs[0].u8.data())
+                               : static_cast<const void*>(bufs[0].f32.data());
+      PJRT_Buffer* input = s.ToDevice(data, in_spec);
+      std::vector<std::vector<uint8_t>> tmp;
+      s.Execute(exe, input, out_specs, tmp);
+      s.DestroyBuffer(input);
+    }
+
+    double dev_ms = 0;
+    size_t total_dets = 0;
+    auto t_start = std::chrono::steady_clock::now();
+    for (int bi = 0; bi < n_batches; ++bi) {
+      Staged& cur = bufs[bi & 1];
+      std::thread pre;  // decode/stage next batch while this one executes
+      if (bi + 1 < n_batches)
+        pre = std::thread([&, bi] { stage(bi + 1, bufs[(bi + 1) & 1]); });
+      const void* data = u8_in ? static_cast<const void*>(cur.u8.data())
+                               : static_cast<const void*>(cur.f32.data());
+      PJRT_Buffer* input = s.ToDevice(data, in_spec);
+      auto te = std::chrono::steady_clock::now();
+      std::vector<std::vector<uint8_t>> hosts;
+      s.Execute(exe, input, out_specs, hosts);
+      dev_ms += ms(te, std::chrono::steady_clock::now());
+      s.DestroyBuffer(input);
+      for (int b = 0; b < cur.count; ++b) {
+        if (cur.src_hw[2 * b] == 0) {
+          std::printf("%s: decode FAILED\n", files[cur.start + b].c_str());
+          continue;
+        }
+        auto dets = ExtractDets(hosts, out_specs, end2end, b, num_classes,
+                                conf_thres, iou_thres, max_det);
+        RescaleDets(dets, cur.ratios[b], cur.pads[2 * b], cur.pads[2 * b + 1],
+                    cur.src_hw[2 * b], cur.src_hw[2 * b + 1]);
+        total_dets += dets.size();
+        std::printf("%s: %zu detections\n", files[cur.start + b].c_str(), dets.size());
+        for (const auto& d : dets)
+          std::printf("  cls %d score %.3f box [%.1f %.1f %.1f %.1f]\n", d.cls,
+                      d.score, d.x1, d.y1, d.x2, d.y2);
+      }
+      if (pre.joinable()) pre.join();
+    }
+    double total = ms(t_start, std::chrono::steady_clock::now());
+    std::printf(
+        "%d images, %zu detections in %.0f ms — %.1f imgs/s end-to-end "
+        "(device %.2f ms/batch of %d)\n",
+        n_img, total_dets, total, n_img * 1000.0 / total, dev_ms / n_batches, batch);
+    return 0;
+  }
 
   // ── image prep (native letterbox; reference yolov6.cpp:static_resize) ──
   Image src;
@@ -537,59 +747,11 @@ int main(int argc, char** argv) {
   if (loops > 1) std::printf("  steady-exec: %.2f ms (round-trip, %d loops)", exec_ms, loops);
   std::printf("\n");
 
-  // ── decode + suppression (first image of the batch) ──
-  std::vector<Det> dets;
-  if (end2end) {
-    // outputs: num_dets [b,1] i32, boxes [b,max_det,4] f32,
-    //          scores [b,max_det] f32, classes [b,max_det] i32
-    const int n = reinterpret_cast<const int32_t*>(hosts[0].data())[0];
-    const float* boxes = reinterpret_cast<const float*>(hosts[1].data());
-    const float* scores = reinterpret_cast<const float*>(hosts[2].data());
-    const int32_t* classes = reinterpret_cast<const int32_t*>(hosts[3].data());
-    for (int i = 0; i < n && i < max_det; ++i) {
-      dets.push_back({boxes[i * 4 + 0], boxes[i * 4 + 1], boxes[i * 4 + 2],
-                      boxes[i * 4 + 3], scores[i], classes[i]});
-    }
-  } else {
-    // raw decode output [b, A, 5+nc]: candidate filter + native greedy NMS
-    // (reference yolov6.cpp:generate_yolo_proposals + nms_sorted_bboxes)
-    const TensorSpec& os = out_specs[0];
-    const int A = static_cast<int>(os.shape[1]);
-    const int C = static_cast<int>(os.shape[2]);
-    const float* pred = reinterpret_cast<const float*>(hosts[0].data());
-    std::vector<float> rows;
-    for (int a = 0; a < A; ++a) {
-      const float* p = pred + static_cast<size_t>(a) * C;
-      float obj = p[4];
-      int best = 0;
-      float best_s = 0;
-      for (int c = 0; c < num_classes && 5 + c < C; ++c) {
-        if (p[5 + c] > best_s) { best_s = p[5 + c]; best = c; }
-      }
-      float score = obj * best_s;
-      if (score < conf_thres) continue;
-      float cx = p[0], cy = p[1], w = p[2], h = p[3];
-      rows.insert(rows.end(), {cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2,
-                               score, static_cast<float>(best)});
-    }
-    int n = static_cast<int>(rows.size() / 6);
-    std::vector<int> keep(std::max(n, 1));
-    int kept = yolov6_nms(rows.data(), n, iou_thres, /*agnostic=*/0, max_det,
-                          keep.data());
-    for (int i = 0; i < kept; ++i) {
-      const float* d = rows.data() + keep[i] * 6;
-      dets.push_back({d[0], d[1], d[2], d[3], d[4], static_cast<int>(d[5])});
-    }
-  }
-
-  // rescale from letterboxed net coords back to the source image
-  // (reference: core/inferer.py:rescale)
-  for (auto& d : dets) {
-    d.x1 = std::max(0.f, std::min((d.x1 - pad_x) / ratio, static_cast<float>(src.w - 1)));
-    d.y1 = std::max(0.f, std::min((d.y1 - pad_y) / ratio, static_cast<float>(src.h - 1)));
-    d.x2 = std::max(0.f, std::min((d.x2 - pad_x) / ratio, static_cast<float>(src.w - 1)));
-    d.y2 = std::max(0.f, std::min((d.y2 - pad_y) / ratio, static_cast<float>(src.h - 1)));
-  }
+  // ── decode + suppression (first image of the batch), then rescale from
+  // letterboxed net coords back to the source image ──
+  std::vector<Det> dets = ExtractDets(hosts, out_specs, end2end, /*b=*/0,
+                                      num_classes, conf_thres, iou_thres, max_det);
+  RescaleDets(dets, ratio, pad_x, pad_y, src.h, src.w);
 
   std::printf("%zu detections\n", dets.size());
   for (size_t i = 0; i < dets.size(); ++i) {
