@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# re-compiling the same train-step/eval graphs every run (single-core host,
+# ~100 min cold). Warm runs reuse the on-disk cache.
+_CACHE_DIR = os.environ.get("YOLOV6_TPU_TEST_CACHE", "/root/repo/.cache/jax")
+os.makedirs(_CACHE_DIR, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
