@@ -52,6 +52,10 @@ def get_args_parser(add_help=True):
     parser.add_argument("--artifact", type=str, default=None,
                         help="evaluate an exported StableHLO end2end artifact "
                              "(the reference's TRT-engine eval analog)")
+    parser.add_argument("--config-file", default="", type=str,
+                        help="experiment config whose eval_params override CLI "
+                             "args; lower priority than --reproduce_640_eval "
+                             "(reference: tools/eval.py:52-67)")
     parser.add_argument("--do_pr_metric", action="store_true")
     parser.add_argument("--plot_curve", default=True,
                         type=lambda s: s.lower() not in ("false", "0", "no"),
@@ -130,6 +134,22 @@ def run(
 
 
 def main(args):
+    if args.config_file:
+        # eval_params override CLI args; list values mean [train_eval, standalone]
+        # and the STANDALONE slot (index 1) applies here — the trainer's
+        # in-training eval takes index 0 (reference: tools/eval.py:52-67 vs
+        # core/engine.py:237-242)
+        assert os.path.exists(args.config_file), f"config file {args.config_file} not found"
+        cfg = Config.fromfile(args.config_file)
+        for key, value in (cfg.get("eval_params") or {}).items():
+            if key not in args.__dict__:
+                LOGGER.info(f"Unrecognized config {key}, continue")
+                continue
+            if isinstance(value, list):
+                if value[1] is not None:
+                    args.__dict__[key] = value[1]
+            elif value is not None:
+                args.__dict__[key] = value
     if args.reproduce_640_eval:
         cfg = Config.fromfile(args.eval_config_file)
         model_key = osp.splitext(osp.basename(args.config))[0]
@@ -137,8 +157,10 @@ def main(args):
         args.shrink_size = eval_params.get("shrink_size", args.shrink_size)
         args.infer_on_rect = eval_params.get("infer_on_rect", args.infer_on_rect)
         args.img_size = eval_params.get("img_size", args.img_size)
+        # forced repro params (reference: tools/eval.py:78-82)
         args.conf_thres = 0.03
         args.iou_thres = 0.65
+        args.task = "val"
     save_dir = str(increment_name(osp.join(args.save_dir, args.name)))
     os.makedirs(save_dir, exist_ok=True)
     run(

@@ -79,7 +79,20 @@ def check_and_init(args):
             args.resume if isinstance(args.resume, str) else find_latest_checkpoint()
         )
         assert os.path.exists(checkpoint_path), f"resume checkpoint {checkpoint_path} not found"
-        args.save_dir = osp.dirname(osp.dirname(checkpoint_path))
+        save_dir = osp.dirname(osp.dirname(osp.normpath(checkpoint_path)))
+        # Reload the run's saved args so a bare --resume reproduces the
+        # original configuration (reference: tools/train.py:69-83). The
+        # resume path itself wins over the stored one.
+        args_yaml = osp.join(save_dir, "args.yaml")
+        if osp.exists(args_yaml):
+            from yolov6_tpu.utils.events import load_yaml
+
+            saved = load_yaml(args_yaml)
+            saved.pop("resume", None)
+            vars(args).update(saved)
+        else:
+            LOGGER.warning(f"no args.yaml found under {save_dir}; using CLI args")
+        args.save_dir = save_dir
         args.resume = checkpoint_path
         LOGGER.info(f"Resume training from checkpoint {checkpoint_path}")
     else:

@@ -366,6 +366,7 @@ class Trainer:
             )
         self.train_loader.set_epoch(self.epoch)
         self.mean_loss = None
+        self._mean_loss_dev = None
 
     def plot_train_batch(self, imgs, labels, paths, max_size=1920, max_subplots=16):
         """Annotated train-batch mosaic for TensorBoard (reference: engine.py:483-536)."""
@@ -419,22 +420,28 @@ class Trainer:
             self.state, loss, components = self.train_step(
                 self.state, batch[0], batch[1], epoch_arr, use_atss=use_atss
             )
-            comp = np.asarray(components)
-            self.mean_loss = (
-                comp if self.mean_loss is None
-                else (self.mean_loss * step + comp) / (step + 1)
+            # Running mean stays ON DEVICE (tiny async jnp ops): a per-step
+            # np.asarray would block the host on every dispatch and stop it
+            # from running ahead to hide data loading (reference hot loop:
+            # engine.py:142-176 only syncs for the pbar print).
+            self._mean_loss_dev = (
+                components if self._mean_loss_dev is None
+                else (self._mean_loss_dev * step + components) / (step + 1)
             )
             if step % getattr(self.args, "log_interval", 50) == 0:
+                self.mean_loss = np.asarray(self._mean_loss_dev)
                 LOGGER.info(
                     f"epoch {epoch_num}/{self.max_epoch - 1} step {step}/{self.max_stepnum} "
                     f"iou/dfl/cls: " + "/".join(f"{v:.4g}" for v in self.mean_loss[:3])
                 )
+        if self._mean_loss_dev is not None:
+            self.mean_loss = np.asarray(self._mean_loss_dev)
 
     def after_epoch(self):
         """eval cadence + checkpointing (reference: engine.py:178-220)."""
         if not self.main_process:
             if self.orbax is not None:
-                self._orbax_save()  # collective: non-main hosts participate
+                self._orbax_save(did_eval=False)  # collective; flag broadcast from 0
             return
         remaining_epochs = self.max_epoch - 1 - self.epoch
         eval_interval = (
@@ -446,7 +453,8 @@ class Trainer:
             not self.args.eval_final_only and (self.epoch + 1) % eval_interval == 0
         )
         self.ap = self.evaluate_results[1]
-        if is_val_epoch and self.val_loader is not None:
+        did_eval = is_val_epoch and self.val_loader is not None
+        if did_eval:
             self.eval_model()
             self.ap = self.evaluate_results[1]
             self.best_ap = max(self.ap, self.best_ap)
@@ -455,7 +463,7 @@ class Trainer:
 
         save_ckpt_dir = osp.join(self.save_dir, "weights")
         if self.orbax is not None:
-            self._orbax_save()
+            self._orbax_save(did_eval=did_eval)
         else:
             state_host = jax.device_get(self.state)
             ckpt = {
@@ -476,31 +484,53 @@ class Trainer:
                     save_checkpoint(ckpt, False, save_ckpt_dir, "best_stop_aug_ckpt")
 
         if self.tblogger and self.mean_loss is not None:
-            lr = float(self.solver_cfg["lr0"])
+            # true in-graph warmup/cosine group LRs at this epoch's last step
+            # (reference logs the 3 torch group LRs, utils/events.py:33-44)
+            from yolov6_tpu.solver.build import group_lrs_host
+
+            lrs = group_lrs_host(
+                (self.epoch + 1) * self.max_stepnum, float(self.epoch),
+                self.warmup_stepnum, self.solver_cfg, self.max_epoch,
+            )
             write_tblog(
                 self.tblogger, self.epoch, self.evaluate_results,
-                [lr, lr, lr], list(self.mean_loss[:3]),
+                list(lrs), list(self.mean_loss[:3]),
             )
 
-    def _orbax_save(self):
+    def _orbax_save(self, did_eval: bool):
         """Collective async checkpoint — called on every host (each writes
-        its own shards). evaluate_results are broadcast from process 0 so
-        saved values and best-metric tracking are host-consistent."""
+        its own shards). evaluate_results + the did-eval flag are broadcast
+        from process 0 so saved values, best-metric tracking, and retention
+        pins are host-consistent. Metrics are attached ONLY on eval epochs —
+        otherwise best_step() could pick a never-evaluated epoch carrying a
+        stale AP. Retention mirrors the msgpack cadence: last-N epochs and
+        the best epoch inside the stop-aug tail are pinned against pruning
+        (reference: engine.py:202-211)."""
         from yolov6_tpu.core.train_step import state_to_dict
 
-        results = np.asarray(self.evaluate_results, np.float32)
+        results = np.asarray([*self.evaluate_results, float(did_eval)], np.float32)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             results = np.asarray(multihost_utils.broadcast_one_to_all(results))
+        did_eval = bool(results[2])
+        ap = float(results[1])
         self.orbax.save(
             self.epoch,
             {
                 "train_state": state_to_dict(self.state),
-                "results": jnp.asarray(results),
+                "results": jnp.asarray(results[:2]),
             },
-            metrics={"ap": float(results[1])},
+            metrics={"ap": ap} if did_eval else None,
         )
+        if self.epoch >= self.max_epoch - self.args.save_ckpt_on_last_n_epoch:
+            self.orbax.pin(self.epoch)
+        if (
+            self.epoch >= self.max_epoch - self.args.stop_aug_last_n_epoch
+            and did_eval and ap > self.best_stop_strong_aug_ap
+        ):
+            self.best_stop_strong_aug_ap = ap
+            self.orbax.pin(self.epoch, tag="best_stop_aug")
 
     def eval_model(self):
         """In-training eval on the EMA weights (reference: engine.py:222-269);
@@ -530,6 +560,10 @@ class Trainer:
             verbose=val("verbose", False),
             do_coco_metric=val("do_coco_metric", True),
             do_pr_metric=val("do_pr_metric", False),
+            # in-training eval runs on process 0 only; a mesh over global
+            # jax.devices() would reference non-addressable devices and hang
+            # the pod — keep SPMD eval for the single-host case
+            data_parallel=jax.process_count() == 1,
         )
         evaler.init_model(self.model, ema_variables)
         preds = evaler.predict_model(self.model, self.val_loader, task="train")

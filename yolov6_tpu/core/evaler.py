@@ -140,6 +140,11 @@ class Evaler:
         --with-preprocess (float RGB input)."""
         from yolov6_tpu.models.end2end import load_exported
 
+        # The exported module was lowered for a single device; feeding it a
+        # mesh-sharded batch raises a device-count mismatch. Disable the
+        # data-parallel path so _device_put keeps batches on one device.
+        self.mesh = None
+
         art = load_exported(path)
         max_det = self.max_det
 

@@ -21,6 +21,7 @@
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
+#include <map>
 #include <cstdio>
 #include <cstring>
 #include <functional>
@@ -70,7 +71,10 @@ int DecodeJpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
     long px = static_cast<long>(cinfo.image_width) * cinfo.image_height;
     cinfo.scale_num = 1;
     cinfo.scale_denom = 1;
-    while (cinfo.scale_denom < 8 && px / (cinfo.scale_denom * cinfo.scale_denom * 4) >= max_pixels) {
+    // halve while the CURRENT size still exceeds max_pixels (up to 1/8) so
+    // the decoded image actually lands under the cap, not one step above it
+    while (cinfo.scale_denom < 8 &&
+           px / (cinfo.scale_denom * cinfo.scale_denom) > max_pixels) {
       cinfo.scale_denom *= 2;
     }
   }
@@ -132,18 +136,17 @@ class Pool {
   bool stop_ = false;
 };
 
-Pool* g_pool = nullptr;
-int g_pool_size = 0;
+// One pool per requested size, never deleted (process-lifetime singletons):
+// deleting and replacing a shared pool while another batch_decode call has
+// jobs in flight would be a use-after-free.
+std::map<int, Pool*> g_pools;
 std::mutex g_pool_mu;
 
 Pool& GetPool(int n_threads) {
   std::lock_guard<std::mutex> lk(g_pool_mu);
-  if (g_pool == nullptr || g_pool_size != n_threads) {
-    delete g_pool;
-    g_pool = new Pool(n_threads);
-    g_pool_size = n_threads;
-  }
-  return *g_pool;
+  Pool*& p = g_pools[n_threads];
+  if (p == nullptr) p = new Pool(n_threads);
+  return *p;
 }
 
 std::vector<uint8_t> ReadFile(const char* path) {

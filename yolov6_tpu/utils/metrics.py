@@ -47,6 +47,10 @@ def ap_per_class(tp, conf, pred_cls, target_cls, plot=False, save_dir=".", names
         n_l = (target_cls == c).sum()
         n_p = mask.sum()
         if n_p == 0 or n_l == 0:
+            # keep py aligned with unique_classes so PR-curve labels attach
+            # to the right curves even when a class has no predictions
+            if plot:
+                py.append(np.zeros_like(px))
             continue
         fpc = (1 - tp[mask]).cumsum(0)
         tpc = tp[mask].cumsum(0)

@@ -54,6 +54,7 @@ class OrbaxCheckpointer:
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
+        self._pinned: Dict[str, int] = {}
         os.makedirs(directory, exist_ok=True)
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
@@ -62,19 +63,29 @@ class OrbaxCheckpointer:
             best_fn=(lambda m: m.get(best_metric, 0.0)),
             best_mode="max",
             keep_checkpoints_without_metrics=True,
+            # pinned steps (last-N cadence, best_stop_aug) survive pruning
+            should_keep_fn=(lambda step: step in self._pinned.values()),
         )
         self.manager = ocp.CheckpointManager(
             osp.abspath(directory), options=options
         )
 
     def save(self, step: int, state: Dict[str, Any], metrics: Optional[dict] = None):
-        """Async-save a pytree of (possibly sharded, on-device) arrays."""
+        """Async-save a pytree of (possibly sharded, on-device) arrays.
+        Pass metrics=None on non-eval steps — attaching metrics there would
+        let best_step() select a step whose AP was never measured."""
         ocp = self._ocp
         self.manager.save(
             step,
             args=ocp.args.Composite(state=ocp.args.StandardSave(state)),
-            metrics=dict(metrics or {}),
+            metrics=dict(metrics) if metrics else None,
         )
+
+    def pin(self, step: int, tag: Optional[str] = None):
+        """Protect `step` from retention pruning. With a tag, the pin moves:
+        pinning a new step under the same tag releases the previous one
+        (used for best_stop_aug tracking)."""
+        self._pinned[tag if tag is not None else f"step:{step}"] = step
 
     def restore(self, step: Optional[int] = None, target: Any = None) -> Dict[str, Any]:
         """Restore `step` (default: latest). `target` is an abstract pytree
