@@ -33,6 +33,61 @@ from yolov6_tpu.utils.events import LOGGER
 IMG_FORMATS = ["bmp", "jpg", "jpeg", "png", "tif", "tiff", "dng", "webp", "mpo"]
 VID_FORMATS = ["mp4", "mov", "avi", "mkv"]
 
+# EXIF orientation tag id (reference: datasets.py:30-34)
+ORIENTATION = 0x0112
+
+
+def check_image(im_file: str, full_check: bool = False):
+    """Read an image's (w, h) from headers; with full_check, verify integrity,
+    apply EXIF-orientation to the recorded shape, and restore corrupt JPEGs
+    in place (reference: datasets.py:524-556).
+
+    Returns (shape_wh or None, msg). shape is the size cv2.imread will
+    produce: cv2 applies EXIF rotation on load, so rotations 6/8 swap w/h.
+    """
+    msg = ""
+    try:
+        from PIL import Image
+
+        im = Image.open(im_file)
+        if full_check:
+            im.verify()  # PIL verify
+            im = Image.open(im_file)  # reload after verify
+        shape = (im.width, im.height)  # (w, h)
+        try:
+            im_exif = im._getexif()
+            if im_exif and ORIENTATION in im_exif and im_exif[ORIENTATION] in (6, 8):
+                shape = (shape[1], shape[0])
+        except Exception:
+            pass
+        if full_check:
+            assert shape[0] > 9 and shape[1] > 9, f"image size {shape} <10 pixels"
+            assert im.format.lower() in IMG_FORMATS, f"invalid image format {im.format}"
+            if im.format.lower() in ("jpg", "jpeg"):
+                with open(im_file, "rb") as f:
+                    f.seek(-2, 2)
+                    if f.read() != b"\xff\xd9":  # corrupt JPEG: missing EOI
+                        from PIL import ImageFile, ImageOps
+
+                        prev = ImageFile.LOAD_TRUNCATED_IMAGES
+                        ImageFile.LOAD_TRUNCATED_IMAGES = True  # decode what's there
+                        try:
+                            ImageOps.exif_transpose(Image.open(im_file)).save(
+                                im_file, "JPEG", subsampling=0, quality=100
+                            )
+                        finally:
+                            ImageFile.LOAD_TRUNCATED_IMAGES = prev
+                        msg = f"WARNING: {im_file}: corrupt JPEG restored and saved"
+        return shape, msg
+    except Exception as e:
+        try:  # PIL can't read some formats cv2 can (e.g. some tiffs)
+            im = cv2.imread(im_file)
+            if im is not None:
+                return (im.shape[1], im.shape[0]), msg
+        except Exception:
+            pass
+        return None, f"WARNING: {im_file}: ignoring corrupt image: {e}"
+
 
 def img2label_paths(img_paths: List[str]) -> List[str]:
     """images/xxx.jpg -> labels/xxx.txt (reference convention)."""
@@ -85,7 +140,9 @@ class TrainValDataset:
         self.target_width = width
         self.cache_ram = cache_ram
 
-        self.img_paths, self.labels = self._load_annotations(img_dir, check_images, check_labels)
+        self.img_paths, self.labels, self.shapes = self._load_annotations(
+            img_dir, check_images, check_labels
+        )
         self.n = len(self.img_paths)
         if cache_ram:
             self.imgs: List = [None] * self.n
@@ -133,22 +190,29 @@ class TrainValDataset:
             try:
                 with open(cache_path) as f:
                     data = json.load(f)
-                if data.get("hash") == cache_key:
+                if data.get("hash") == cache_key and data.get("version") == 2:
                     cached = data["labels"]
             except Exception:
                 cached = None
 
         if cached is None:
             def parse(args):
+                """-> (img_path, label_rows, shape_wh) or None to drop.
+                Shapes are read from headers (no decode) and stored in the
+                cache so rect bucketing / COCO-GT need zero decodes on warm
+                start (reference caches shapes the same way,
+                datasets.py:306-450); check_images upgrades to a full
+                verify + EXIF-aware shape + corrupt-JPEG restore."""
                 img_path, lb_path = args
-                if check_images:
-                    try:
-                        im = cv2.imread(img_path)
-                        assert im is not None
-                    except Exception:
+                shape, msg = check_image(img_path, full_check=check_images)
+                if msg:
+                    LOGGER.warning(msg)
+                if shape is None:
+                    if check_images:
                         return None
+                    shape = (0, 0)  # resolved lazily at first decode
                 if not osp.exists(lb_path):
-                    return img_path, []
+                    return img_path, [], shape
                 try:
                     rows = []
                     with open(lb_path) as f:
@@ -160,38 +224,50 @@ class TrainValDataset:
                     if check_labels and rows:
                         arr = np.array(rows)
                         assert (arr >= 0).all() and (arr[:, 1:] <= 1).all(), "label out of range"
-                    return img_path, rows
+                    return img_path, rows, shape
                 except Exception as e:
                     LOGGER.warning(f"skipping {lb_path}: {e}")
-                    return img_path, []
+                    return img_path, [], shape
 
             with ThreadPool(8) as pool:
                 results = pool.map(parse, zip(img_paths, label_paths))
             results = [r for r in results if r is not None]
-            cached = {p: rows for p, rows in results}
+            cached = {p: {"labels": rows, "shape": list(shape)} for p, rows, shape in results}
             try:
                 with open(cache_path, "w") as f:
-                    json.dump({"hash": cache_key, "labels": cached}, f)
+                    json.dump({"hash": cache_key, "version": 2, "labels": cached}, f)
             except OSError:
                 pass
 
         paths = [p for p in img_paths if p in cached]
-        labels = [np.array(cached[p], np.float32).reshape(-1, 5) for p in paths]
-        return paths, labels
+        labels = [np.array(cached[p]["labels"], np.float32).reshape(-1, 5) for p in paths]
+        shapes = np.array([cached[p]["shape"] for p in paths], np.float64)  # (w, h)
+        return paths, labels, shapes
+
+    def _resolve_shapes(self) -> np.ndarray:
+        """Cached (w, h) per image; any unknown (0, 0) entries (image was
+        unreadable by PIL during a no-check scan) are filled by a header
+        read now."""
+        shapes = np.asarray(self.shapes, np.float64)
+        for i in np.flatnonzero((shapes <= 0).any(axis=1)):
+            shape, _ = check_image(self.img_paths[int(i)])
+            if shape is None:
+                raise FileNotFoundError(f"unreadable image {self.img_paths[int(i)]}")
+            shapes[i] = shape
+        self.shapes = shapes
+        return shapes
 
     # ------------------------------------------------------------ rect mode
 
     def _setup_rect_batches(self):
-        """Aspect-ratio bucketing for rect eval (reference: datasets.py:497-522)."""
-        shapes = []
-        for p in self.img_paths:
-            im = cv2.imread(p)
-            shapes.append((im.shape[1], im.shape[0]))  # (w, h)
-        shapes = np.array(shapes, float)
+        """Aspect-ratio bucketing for rect eval (reference: datasets.py:497-522).
+        Uses the shapes recorded in the scan cache — no decodes."""
+        shapes = self._resolve_shapes()
         ar = shapes[:, 1] / shapes[:, 0]  # h / w
         order = np.argsort(ar)
         self.img_paths = [self.img_paths[i] for i in order]
         self.labels = [self.labels[i] for i in order]
+        self.shapes = shapes[order]
         ar = ar[order]
 
         n_batches = int(np.ceil(self.n / self.batch_size))
@@ -342,14 +418,17 @@ class TrainValDataset:
                "annotations": [], "categories": []}
         for i, name in enumerate(class_names):
             out["categories"].append({"id": i, "name": str(name), "supercategory": str(name)})
-        ann_id = 0
+        # COCO annotation ids must start at 1: pycocotools stores matches as
+        # ids in dtm/gtm arrays where 0 means "unmatched", so an id-0
+        # annotation silently breaks its TP accounting
+        ann_id = 1
         save_path = osp.join(
             osp.dirname(osp.dirname(self.img_paths[0])) or ".",
             f".{osp.basename(str(self.img_dir))}_coco_gt.json",
         )
+        shapes = self._resolve_shapes()
         for idx, (path, labels) in enumerate(zip(self.img_paths, self.labels)):
-            im = cv2.imread(path)
-            h, w = im.shape[:2]
+            w, h = (int(shapes[idx][0]), int(shapes[idx][1]))
             img_id = osp.splitext(osp.basename(path))[0]
             img_id = int(img_id) if img_id.isnumeric() else img_id
             out["images"].append(

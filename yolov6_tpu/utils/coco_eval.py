@@ -55,8 +55,11 @@ class COCOEvaluator:
         self.img_ids = [im["id"] for im in gt["images"]]
         self._gt_by_key = defaultdict(list)
         for ann in gt["annotations"]:
-            if ann.get("ignore"):
-                continue
+            # ALL annotations are kept. pycocotools' bbox path has a known
+            # quirk: _prepare normalizes gt['ignore'] then immediately
+            # overwrites it with the iscrowd flag, so a user 'ignore' field
+            # has NO effect — only iscrowd drives GT ignoring. Mirrored here
+            # for strict protocol parity (see tests/cocoeval_oracle.py).
             self._gt_by_key[(ann["image_id"], ann["category_id"])].append(ann)
 
     def per_class_ap(self, names: Optional[Dict] = None):
@@ -98,19 +101,20 @@ class COCOEvaluator:
                 g_boxes = np.array([g["bbox"] for g in gts], float).reshape(-1, 4)
                 d_boxes = np.array([d["bbox"] for d in dts], float).reshape(-1, 4)
                 g_crowd = np.array([int(g.get("iscrowd", 0)) for g in gts], int)
+                g_ign = g_crowd  # upstream quirk: ignore == iscrowd for bbox
                 g_area = np.array(
                     [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts], float
                 ).reshape(-1)
                 d_area = d_boxes[:, 2] * d_boxes[:, 3]
                 d_scores = np.array([d["score"] for d in dts], float)
                 ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
-                per_img.append((g_crowd, g_area, d_area, d_scores, ious))
+                per_img.append((g_crowd, g_ign, g_area, d_area, d_scores, ious))
 
             for a, (a_lo, a_hi) in enumerate(AREA_RNGS.values()):
                 for m, max_det in enumerate(MAX_DETS):
                     evals = [
-                        self._match_img(g_crowd, g_area, d_area, d_scores, ious, a_lo, a_hi, max_det)
-                        for (g_crowd, g_area, d_area, d_scores, ious) in per_img
+                        self._match_img(g_crowd, g_ign, g_area, d_area, d_scores, ious, a_lo, a_hi, max_det)
+                        for (g_crowd, g_ign, g_area, d_area, d_scores, ious) in per_img
                     ]
                     evals = [e for e in evals if e is not None]
                     if not evals:
@@ -144,14 +148,14 @@ class COCOEvaluator:
         return self._summarize(verbose)
 
     @staticmethod
-    def _match_img(g_crowd, g_area, d_area, d_scores, ious, a_lo, a_hi, max_det):
+    def _match_img(g_crowd, g_ign, g_area, d_area, d_scores, ious, a_lo, a_hi, max_det):
         """Greedy per-image matching at all IoU thresholds.
 
         Returns (tps[T,D], ignore[T,D], scores[D], n_nonignored_gt) or None.
         """
         G = len(g_crowd)
         D = min(len(d_scores), max_det)
-        g_ignore = (g_crowd > 0) | (g_area < a_lo) | (g_area > a_hi)
+        g_ignore = (g_ign > 0) | (g_area < a_lo) | (g_area > a_hi)
         # sort gts: non-ignored first (stable) — pycocotools gtind
         g_order = np.argsort(g_ignore, kind="mergesort")
         g_ignore_s = g_ignore[g_order]
