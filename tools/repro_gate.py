@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""The mAP fidelity gate: reproduce the published COCO val2017 640-eval for
+YOLOv6-N/S/M/L and assert each lands within a tolerance of the reference
+numbers (reference protocol: tools/eval.py:70-82 --reproduce_640_eval with
+configs/experiment/eval_640_repro.py).
+
+This environment has no COCO data or reference weights (zero egress), so the
+gate is a one-command runner for the moment they appear:
+
+    python tools/repro_gate.py --coco-root /data/coco --weights-dir ./weights
+
+It will try to download missing reference .pt weights (utils/general.py
+download_ckpt) when there is connectivity, evaluate each model through the
+full import -> fold -> decode -> NMS chain, and print a pass/fail table.
+Exit code 0 iff every evaluated model is within --tol of its target.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+from yolov6_tpu.utils.events import LOGGER
+
+# published COCO val2017 mAP50:95 @640 (reference README.md:41-44)
+TARGETS = {
+    "yolov6n": 37.5,
+    "yolov6s": 45.0,
+    "yolov6m": 50.0,
+    "yolov6l": 52.8,
+}
+
+
+def get_args_parser(add_help=True):
+    p = argparse.ArgumentParser(description="YOLOv6-TPU mAP repro gate", add_help=add_help)
+    p.add_argument("--coco-root", type=str, required=True,
+                   help="COCO root containing images/val2017 and "
+                        "annotations/instances_val2017.json")
+    p.add_argument("--weights-dir", type=str, default="./weights",
+                   help="directory holding yolov6{n,s,m,l}.pt (downloaded "
+                        "here when missing and egress exists)")
+    p.add_argument("--models", nargs="+", default=list(TARGETS),
+                   choices=list(TARGETS), help="subset of models to gate")
+    p.add_argument("--tol", type=float, default=0.2,
+                   help="allowed |mAP - target| in mAP points")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--save-dir", type=str, default="runs/repro_gate")
+    p.add_argument("--out-json", type=str, default=None,
+                   help="write the per-model results to this JSON file")
+    return p
+
+
+def build_coco_data_dict(coco_root: str) -> dict:
+    """data dict pointing at a standard COCO layout (data/coco.yaml schema)."""
+    val_images = osp.join(coco_root, "images", "val2017")
+    if not osp.isdir(val_images):
+        val_images = osp.join(coco_root, "val2017")  # flat layout
+    anno = osp.join(coco_root, "annotations", "instances_val2017.json")
+    if not osp.isdir(val_images) or not osp.exists(anno):
+        raise FileNotFoundError(
+            f"COCO val2017 not found under {coco_root} "
+            f"(need images/val2017 + annotations/instances_val2017.json)"
+        )
+    import yaml
+
+    with open(osp.join(ROOT, "data", "coco.yaml")) as f:
+        base = yaml.safe_load(f)
+    base.update(val=val_images, anno_path=anno, is_coco=True)
+    return base
+
+
+def main(args):
+    from tools.eval import run as eval_run
+    from yolov6_tpu.utils.config import Config
+    from yolov6_tpu.utils.general import download_ckpt
+
+    data = build_coco_data_dict(args.coco_root)
+    repro = Config.fromfile(osp.join(ROOT, "configs", "experiment", "eval_640_repro.py"))
+
+    rows, ok = [], True
+    for name in args.models:
+        weights = osp.join(args.weights_dir, f"{name}.pt")
+        if not osp.exists(weights):
+            native = osp.join(args.weights_dir, f"{name}.msgpack")
+            if osp.exists(native):
+                weights = native
+            elif not download_ckpt(weights):
+                rows.append((name, None, TARGETS[name], "SKIP (no weights)"))
+                continue
+        ep = repro.eval_params.get(name, repro.eval_params["default"])
+        save_dir = osp.join(args.save_dir, name)
+        os.makedirs(save_dir, exist_ok=True)
+        LOGGER.info(f"=== {name}: eval @{ep['img_size']} shrink={ep['shrink_size']} ===")
+        (map50, map5095), _ = eval_run(
+            dict(data),
+            weights=weights,
+            config=osp.join(ROOT, "configs", f"{name}.py"),
+            batch_size=args.batch_size,
+            img_size=ep["img_size"],
+            conf_thres=0.03,
+            iou_thres=0.65,
+            task="val",
+            save_dir=save_dir,
+            shrink_size=ep["shrink_size"],
+            infer_on_rect=ep["infer_on_rect"],
+        )
+        map_pts = 100.0 * float(map5095)
+        delta = map_pts - TARGETS[name]
+        status = "PASS" if abs(delta) <= args.tol else "FAIL"
+        ok &= status == "PASS"
+        rows.append((name, map_pts, TARGETS[name], f"{status} ({delta:+.2f})"))
+
+    print(f"\n{'model':10s} {'mAP50:95':>9s} {'target':>7s}  status")
+    for name, got, target, status in rows:
+        got_s = f"{got:9.2f}" if got is not None else f"{'—':>9s}"
+        print(f"{name:10s} {got_s} {target:7.1f}  {status}")
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            json.dump(
+                [{"model": n, "map": g, "target": t, "status": s}
+                 for n, g, t, s in rows], f, indent=2,
+            )
+    evaluated = [r for r in rows if r[1] is not None]
+    if not evaluated:
+        LOGGER.warning("no models evaluated (no weights and no egress) — gate inconclusive")
+        return 2
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(get_args_parser().parse_args()))

@@ -39,6 +39,39 @@ def find_latest_checkpoint(search_dir="."):
     return max(ckpts, key=os.path.getctime) if ckpts else ""
 
 
+def download_ckpt(path, release="0.4.0", timeout=60):
+    """Fetch a pretrained reference checkpoint from the upstream release if
+    it's missing (reference: utils/general.py:89-101). Returns True on
+    success; False (with a warning) when there's no egress — callers should
+    treat a False as 'weights unavailable', not an error."""
+    if os.path.exists(path):
+        return True
+    basename = os.path.basename(path)
+    os.makedirs(os.path.abspath(os.path.dirname(path)) or ".", exist_ok=True)
+    url = f"https://github.com/meituan/YOLOv6/releases/download/{release}/{basename}"
+    LOGGER.info(f"checkpoint {basename} not found locally, trying {url}")
+    try:
+        import urllib.request
+
+        tmp = path + ".part"
+        with urllib.request.urlopen(url, timeout=timeout) as r, open(tmp, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        os.replace(tmp, path)
+        LOGGER.info(f"checkpoint {basename} downloaded to {path}")
+        return True
+    except Exception as e:  # no egress / 404 / timeout
+        LOGGER.warning(f"could not download {basename}: {e}")
+        try:
+            os.remove(path + ".part")
+        except OSError:
+            pass
+        return False
+
+
 def make_divisible(x, divisor):
     return math.ceil(x / divisor) * divisor
 
