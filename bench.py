@@ -1,16 +1,27 @@
 #!/usr/bin/env python3
-"""Benchmark: YOLOv6-S deploy-mode inference throughput on the local chip.
+"""Benchmark: YOLOv6 throughput on the local chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-Baseline: published YOLOv6-S T4 TensorRT-fp16 b32 throughput = 484 imgs/s
-(reference README.md:42; BASELINE.md). Protocol mirrors docs/Test_speed.md:
-pre/post-processing excluded — pure device forward (backbone+neck+head+decode),
-bf16, batch 32 @640.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
+Headline: YOLOv6-S deploy-mode fwd+decode b32@640 bf16 vs the published
+T4 TensorRT-fp16 b32 throughput = 484 imgs/s (reference README.md:42;
+BASELINE.md). Protocol mirrors docs/Test_speed.md: pre/post-processing
+excluded — pure device forward.
+
+"extras" (disable with BENCH_EXTRAS=0) pins the other driver-visible
+regression surfaces:
+  s_eval_nms_imgs_s  S fwd+decode+NMS at the eval protocol (conf 0.03,
+                     multi-label, max_nms per core/evaler.py default)
+  s_train_imgs_s     S full train step b32@640 bf16 (fwd+loss/TAL+bwd+
+                     SGD+EMA), steady-state
+  n_fwd_imgs_s /     N and L fwd+decode b32@640 (T4 b32 baselines 1187 /
+  l_fwd_imgs_s       116 imgs/s)
 
 Methodology note: the axon tunnel makes per-dispatch host timing unreliable,
-so iterations run on-device inside one jit (fori_loop with an
+so forward iterations run on-device inside one jit (fori_loop with an
 iteration-dependent input perturbation to defeat CSE) and only a scalar
-leaves the device.
+leaves the device. The train-step timing instead chains N donated-state
+steps and fetches the final loss (the state dependency serializes the
+chain on device).
 """
 
 import json
@@ -25,18 +36,7 @@ sys.path.insert(0, ROOT)
 BASELINES_B32 = {"yolov6n": 1187.0, "yolov6s": 484.0, "yolov6m": 226.0, "yolov6l": 116.0}
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from yolov6_tpu.models.yolo import build_model
-    from yolov6_tpu.utils.config import Config
-
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    img = int(os.environ.get("BENCH_IMG", "640"))
-    model_name = os.environ.get("BENCH_MODEL", "yolov6s")
-    iters = int(os.environ.get("BENCH_ITERS", "50"))
-
+def find_config(model_name):
     cfg_path = os.path.join(ROOT, "configs", f"{model_name}.py")
     if not os.path.exists(cfg_path):
         # families live in subdirs (yolov6_lite/, mbla/, base/, repopt/, qarepvgg/)
@@ -46,7 +46,35 @@ def main():
         if not hits:
             raise FileNotFoundError(f"no config named {model_name}.py under configs/")
         cfg_path = hits[0]
-    cfg = Config.fromfile(cfg_path)
+    return cfg_path
+
+
+def _timed_fori(jax, jnp, forward, images, iters, sum_scale=1e-9):
+    """On-device fori_loop timing; returns seconds for `iters` iterations."""
+
+    @partial(jax.jit, static_argnames="n")
+    def bench_n(images, n):
+        def body(i, acc):
+            out = forward(images + i.astype(jnp.float32) * 1e-9)
+            return acc + jnp.sum(out) * sum_scale
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    jax.device_get(bench_n(images, iters))  # compile + warm
+    t0 = time.perf_counter()
+    jax.device_get(bench_n(images, iters))
+    return time.perf_counter() - t0
+
+
+def fwd_decode_fps(model_name, batch, img, iters):
+    """Deploy-mode fwd+decode throughput (imgs/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolov6_tpu.models.yolo import build_model
+    from yolov6_tpu.utils.config import Config
+
+    cfg = Config.fromfile(find_config(model_name))
     model = build_model(cfg, num_classes=80, deploy=True, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3), jnp.float32), train=False
@@ -63,55 +91,158 @@ def main():
         # models, whose constant-laden HLO the axon remote-compile endpoint
         # rejects with HTTP 413.
         if close_over_weights:
-            @partial(jax.jit, static_argnames="n")
-            def bench_n(images, n):
-                def body(i, acc):
-                    out = forward(variables, images + i.astype(jnp.float32) * 1e-9)
-                    return acc + jnp.sum(out) * 1e-9
-
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-            return lambda images, n: bench_n(images, n)
-
-        @partial(jax.jit, static_argnames="n")
-        def bench_n_args(vs, images, n):
-            def body(i, acc):
-                out = forward(vs, images + i.astype(jnp.float32) * 1e-9)
-                return acc + jnp.sum(out) * 1e-9
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-
-        return lambda images, n: bench_n_args(variables, images, n)
+            return lambda images: forward(variables, images)
+        return None
 
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, img, img, 3), jnp.float32)
 
     # BENCH_WEIGHTS_AS_ARGS=1 skips the closure attempt up front: large
     # models that squeeze under the 413 request limit (e.g. M6/L6 at b1)
     # otherwise sink into a pathologically slow constant-folding compile.
-    bench_fn = make_bench(os.environ.get("BENCH_WEIGHTS_AS_ARGS", "0") != "1")
     try:
-        jax.device_get(bench_fn(images, iters))  # compile + warm
+        if os.environ.get("BENCH_WEIGHTS_AS_ARGS", "0") == "1":
+            raise _OversizedProgram()
+        dt = _timed_fori(jax, jnp, lambda im: forward(variables, im), images, iters)
     except Exception as e:  # noqa: BLE001 — oversized-program rejection
-        if "413" not in str(e) and "length limit" not in str(e):
+        if not isinstance(e, _OversizedProgram) and "413" not in str(e) and "length limit" not in str(e):
             raise
-        bench_fn = make_bench(False)
-        jax.device_get(bench_fn(images, iters))
-    t0 = time.perf_counter()
-    jax.device_get(bench_fn(images, iters))
-    dt = time.perf_counter() - t0
 
-    fps = batch * iters / dt
-    baseline = BASELINES_B32.get(model_name)
-    print(
-        json.dumps(
-            {
-                "metric": f"{model_name}_b{batch}_{img} imgs/sec/chip (bf16, fwd+decode)",
-                "value": round(fps, 2),
-                "unit": "imgs/s",
-                "vs_baseline": round(fps / baseline, 3) if baseline else None,
-            }
+        @partial(jax.jit, static_argnames="n")
+        def bench_args(vs, images, n):
+            def body(i, acc):
+                out = forward(vs, images + i.astype(jnp.float32) * 1e-9)
+                return acc + jnp.sum(out) * 1e-9
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+        jax.device_get(bench_args(variables, images, iters))
+        t0 = time.perf_counter()
+        jax.device_get(bench_args(variables, images, iters))
+        dt = time.perf_counter() - t0
+    return batch * iters / dt, (model, variables, images)
+
+
+class _OversizedProgram(Exception):
+    pass
+
+
+def eval_nms_fps(model, variables, images, iters):
+    """fwd+decode+NMS at the eval protocol (core/evaler.py defaults)."""
+    import inspect
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolov6_tpu.core.evaler import Evaler
+    from yolov6_tpu.ops.nms import non_max_suppression
+
+    max_nms = inspect.signature(Evaler.__init__).parameters["max_nms"].default
+
+    def forward(imgs):
+        head_out, _ = model.apply(variables, imgs, train=False)
+        preds = model.apply(variables, head_out, method=model.decode)
+        dets, valid = non_max_suppression(
+            preds, conf_thres=0.03, iou_thres=0.65, max_det=300,
+            max_nms=max_nms, multi_label=True,
         )
+        return jnp.sum(dets) + jnp.sum(valid)
+
+    dt = _timed_fori(jax, jnp, forward, images, iters)
+    return images.shape[0] * iters / dt
+
+
+def train_fps(batch, img, steps, max_labels=32):
+    """Steady-state full-train-step throughput for YOLOv6-S (bf16 compute)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from yolov6_tpu.core.train_step import create_train_state, make_train_step
+    from yolov6_tpu.losses.loss import ComputeLoss
+    from yolov6_tpu.models.yolo import build_model
+    from yolov6_tpu.solver.build import build_param_groups
+    from yolov6_tpu.utils.config import Config
+
+    cfg = Config.fromfile(find_config("yolov6s"))
+    model = build_model(cfg, num_classes=80, deploy=False, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False)
+    head = cfg.model.head
+    loss_fn = ComputeLoss(
+        num_classes=80, ori_img_size=img, warmup_epoch=0,
+        use_dfl=head.use_dfl, reg_max=head.reg_max, iou_type=head.iou_type,
     )
+    solver_cfg = dict(
+        lr0=cfg.solver.lr0, lrf=cfg.solver.lrf, momentum=cfg.solver.momentum,
+        weight_decay=cfg.solver.weight_decay, warmup_epochs=cfg.solver.warmup_epochs,
+        warmup_momentum=cfg.solver.warmup_momentum,
+        warmup_bias_lr=cfg.solver.warmup_bias_lr, lr_scheduler="Cosine",
+    )
+    step_fn = make_train_step(
+        model, loss_fn, build_param_groups(variables["params"]), solver_cfg,
+        max_stepnum=1000, epochs=300, batch_size=batch, warmup_stepnum=10,
+        img_size=(img, img),
+    )
+    state = create_train_state(
+        {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (batch, img, img, 3), np.uint8))
+    targets_np = np.full((batch, max_labels, 5), -1.0, np.float32)
+    targets_np[:, :4, 0] = rng.integers(0, 80, (batch, 4))
+    targets_np[:, :4, 1:] = rng.uniform(0.2, 0.6, (batch, 4, 4))
+    targets = jnp.asarray(targets_np)
+    epoch = jnp.asarray(100)
+
+    # warm-up: compile + 2 steps
+    state, loss, _ = step_fn(state, images, targets, epoch, use_atss=False)
+    state, loss, _ = step_fn(state, images, targets, epoch, use_atss=False)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = step_fn(state, images, targets, epoch, use_atss=False)
+    float(loss)  # the donated-state chain serializes all steps on device
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    img = int(os.environ.get("BENCH_IMG", "640"))
+    model_name = os.environ.get("BENCH_MODEL", "yolov6s")
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+
+    fps, (model, variables, images) = fwd_decode_fps(model_name, batch, img, iters)
+    baseline = BASELINES_B32.get(model_name)
+    result = {
+        "metric": f"{model_name}_b{batch}_{img} imgs/sec/chip (bf16, fwd+decode)",
+        "value": round(fps, 2),
+        "unit": "imgs/s",
+        "vs_baseline": round(fps / baseline, 3) if baseline else None,
+    }
+
+    if os.environ.get("BENCH_EXTRAS", "1") != "0" and model_name == "yolov6s":
+        extras = {}
+        try:
+            extras["s_eval_nms_imgs_s"] = round(
+                eval_nms_fps(model, variables, images, iters=30), 2
+            )
+        except Exception as e:  # noqa: BLE001
+            extras["s_eval_nms_imgs_s"] = f"error: {e}"
+        del model, variables, images
+        try:
+            extras["s_train_imgs_s"] = round(train_fps(batch, img, steps=15), 2)
+        except Exception as e:  # noqa: BLE001
+            extras["s_train_imgs_s"] = f"error: {e}"
+        for small, key in (("yolov6n", "n_fwd_imgs_s"), ("yolov6l", "l_fwd_imgs_s")):
+            try:
+                f, _ = fwd_decode_fps(small, batch, img, iters=30)
+                extras[key] = round(f, 2)
+                extras[key + "_vs_t4"] = round(f / BASELINES_B32[small], 3)
+            except Exception as e:  # noqa: BLE001
+                extras[key] = f"error: {e}"
+        result["extras"] = extras
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

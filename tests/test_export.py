@@ -65,3 +65,47 @@ def test_artifact_eval_adapter(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(valid).sum(1), np.asarray(want[0])[:, 0]
     )
+
+
+def test_sharded_gspmd_export_roundtrip(tmp_path):
+    """GSPMD artifact (--shard-devices): batch sharded over the 8-device
+    virtual mesh, outputs identical to the single-device artifact, and the
+    Evaler adapter shards its input batches automatically."""
+    from yolov6_tpu.core.evaler import Evaler
+    from yolov6_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "tests expect the virtual 8-device CPU mesh"
+
+    cfg = Config.fromfile("/root/repo/configs/yolov6n.py")
+    model = build_model(cfg, num_classes=8, deploy=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    serve = make_end2end_fn(
+        model, variables, conf_thres=0.005, iou_thres=0.65, max_det=20,
+        with_preprocess=False, half=False,
+    )
+    path = str(tmp_path / "m8.stablehlo")
+    export_stablehlo(serve, batch=8, img_size=(64, 64), path=path,
+                     input_dtype=jnp.float32, shard_devices=n_dev)
+
+    art = load_exported(path)
+    assert art.nr_devices == n_dev
+
+    imgs = np.random.default_rng(1).integers(0, 255, (8, 64, 64, 3), np.uint8)
+    x = jnp.asarray(imgs, jnp.float32)
+    sharded = jax.device_put(x, batch_sharding(create_mesh()))
+    got = art.call(sharded)
+    want = jax.jit(serve)(x)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(want[1]), rtol=1e-5, atol=1e-5
+    )
+
+    evaler = Evaler({"nc": 8, "names": list("abcdefgh"), "is_coco": False},
+                    batch_size=8, img_size=64, max_det=20)
+    evaler.init_artifact(path, num_classes=8)
+    assert evaler.mesh is not None
+    dets, valid = evaler._infer(None, evaler._device_put(imgs))
+    np.testing.assert_array_equal(
+        np.asarray(valid).sum(1), np.asarray(want[0])[:, 0]
+    )

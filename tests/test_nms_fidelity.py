@@ -1,0 +1,66 @@
+"""max_nms truncation fidelity + selection-backend equivalence.
+
+Pins the properties measured by tools/nms_sweep.py (full-scale TPU numbers
+in docs/nms_fidelity.md) on scaled-down scenes:
+
+  - realistic candidate density: an aggressive max_nms cap is lossless
+    (keep-set identical to the reference's 30000-exact cap,
+    reference utils/nms.py:55);
+  - the adversarial "flood" scene (few huge clusters burying quiet objects
+    deep in the ranking) is where a small cap loses detections — this is why
+    the eval default is 8192, not 2000;
+  - the tiled exact-greedy backend (ops/nms._tiled_keep) returns keep-sets
+    identical to the sequential loop backend on dense scenes.
+"""
+
+import sys
+import os.path as osp
+
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+
+from nms_sweep import dense_scenes, keep_sets, agreement  # noqa: E402
+
+from yolov6_tpu.ops.nms import non_max_suppression  # noqa: E402
+
+
+def _run(pred, max_nms, method, exact=True):
+    dets, valid = non_max_suppression(
+        jnp.asarray(pred), conf_thres=0.03, iou_thres=0.65, max_det=300,
+        max_nms=max_nms, multi_label=True, exact_topk=exact, method=method,
+    )
+    return keep_sets(np.asarray(dets), np.asarray(valid))
+
+
+def test_mixed_scene_truncation_lossless():
+    """Realistic density: cap at 2048 == full exact candidate set."""
+    pred, _ = dense_scenes(batch=2, anchors=2048, nc=20, n_objects=40,
+                           seed=3, scene="mixed")
+    base = _run(pred, 2048 * 20, "tiled")  # un-truncated
+    cut = _run(pred, 2048, "tiled")
+    det_agree, score_agree = agreement(base, cut)
+    assert det_agree == 1.0 and score_agree == 1.0
+
+
+def test_flood_scene_needs_large_cap():
+    """Adversarial flood: 2048 loses the quiet objects, 8192 is lossless."""
+    pred, n_cand = dense_scenes(batch=1, anchors=8400, nc=80, scene="flood")
+    assert n_cand.max() <= 8192  # 8192 covers every candidate here
+    base = _run(pred, 8192, "tiled")
+    small = _run(pred, 2048, "tiled")
+    det_small, _ = agreement(base, small)
+    assert det_small < 0.7, f"flood scene unexpectedly survived: {det_small}"
+
+
+def test_tiled_matches_loop_backend():
+    """Exact keep-set identity between the tiled and sequential backends,
+    including truncated caps and the multi-tile path (K=2048 -> 8 tiles)."""
+    for scene, anchors, nc in (("mixed", 2048, 20), ("flood", 8400, 80)):
+        pred, _ = dense_scenes(batch=2, anchors=anchors, nc=nc,
+                               n_objects=40, seed=7, scene=scene)
+        for max_nms in (600, 2048):
+            tiled = _run(pred, max_nms, "tiled")
+            loop = _run(pred, max_nms, "loop")
+            assert tiled == loop, (scene, max_nms)

@@ -40,6 +40,10 @@ def main():
     parser.add_argument("--max-det", type=int, default=100)
     parser.add_argument("--platforms", nargs="+", default=None,
                         help="e.g. tpu cpu — multi-platform artifact")
+    parser.add_argument("--shard-devices", type=int, default=1,
+                        help="export a GSPMD artifact with the batch sharded "
+                             "over an N-device data mesh (one artifact "
+                             "serves a multi-chip batch)")
     parser.add_argument("--check", action="store_true", help="round-trip sanity check")
     parser.add_argument("--runner-dir", type=str, default=None,
                         help="also write the raw-StableHLO artifact directory "
@@ -82,6 +86,7 @@ def main():
         serve, args.batch_size, tuple(args.img_size), output,
         platforms=tuple(args.platforms) if args.platforms else None,
         input_dtype=jnp.uint8 if args.with_preprocess else jnp.float32,
+        shard_devices=args.shard_devices,
     )
     LOGGER.info(f"Exported to {output} in {time.time() - t0:.1f}s")
 

@@ -276,15 +276,57 @@ def main():
               fuse_P2=False, iou="siou", dfl=False)
     rs = dict(depth=0.33, width=0.50, backbone="EfficientRep", neck="RepPANNeck",
               fuse_P2=False, iou="giou", dfl=False)
-    for key, spec, lr in [("yolov6n", rn, lr_n), ("yolov6s", rs, None)]:
-        emit(f"repopt/{key}_hs.py", p5_model(key.replace("yolov6", "YOLOv6"), **spec),
+    rt = dict(depth=0.33, width=0.375, backbone="EfficientRep", neck="RepPANNeck",
+              fuse_P2=False, iou="siou", dfl=False)
+    SENSITIVE_LAYERS = """[
+        'detect.stems.0.conv', 'detect.stems.1.conv', 'detect.stems.2.conv',
+        'detect.cls_convs.0.conv', 'detect.cls_convs.1.conv', 'detect.cls_convs.2.conv',
+        'detect.reg_convs.0.conv', 'detect.reg_convs.1.conv', 'detect.reg_convs.2.conv',
+        'detect.cls_preds.0', 'detect.cls_preds.1', 'detect.cls_preds.2',
+        'detect.reg_preds.0', 'detect.reg_preds.1', 'detect.reg_preds.2',
+    ]"""
+    for key, spec, lr in [("yolov6_tiny", rt, None), ("yolov6n", rn, lr_n),
+                          ("yolov6s", rs, None)]:
+        mname = "YOLOv6t" if key == "yolov6_tiny" else key.replace("yolov6", "YOLOv6")
+        emit(f"repopt/{key}_hs.py", p5_model(mname, **spec),
              SOLVER_SCRATCH, AUG_SCRATCH_05, training_mode="hyper_search", solver_extra=lr,
              header=f"{key} CSLA hyper-search stage (RepOpt step 1)")
-        model_str = p5_model(key.replace("yolov6", "YOLOv6"), **spec).replace(
+        model_str = p5_model(mname, **spec).replace(
             "    pretrained=None,", f"    pretrained=None,\n    scales='assets/{key}_scale.msgpack',")
         emit(f"repopt/{key}_opt.py", model_str,
              SOLVER_SCRATCH, AUG_SCRATCH_05, training_mode="repopt", solver_extra=lr,
              header=f"{key} RepOptimizer training stage (RepOpt step 2)")
+        # QAT stage (reference: configs/repopt/yolov6{n,s}_opt_qat.py,
+        # yolov6_tiny_opt_qat.py): finetune the trained RepOpt model with
+        # fake-quant active from a PTQ-calibrated checkpoint, tiny LR +
+        # self-distillation. Recipe: docs/tutorial_quant.md.
+        qat_model = p5_model(mname, **spec, pretrained=f"weights/{key}_opt.msgpack").replace(
+            f"    pretrained='weights/{key}_opt.msgpack',",
+            f"    pretrained='weights/{key}_opt.msgpack',\n"
+            f"    scales='assets/{key}_scale.msgpack',")
+        qat_solver = dict(lr0=0.00001, lrf=0.001, momentum=0.937, weight_decay=0.00005,
+                          warmup_epochs=3.0, warmup_momentum=0.8, warmup_bias_lr=0.1)
+        quant_block = f"""
+
+ptq = dict(
+    num_bits=8,
+    calib_batches=32,
+    calib_method='max',
+    calib_output_path='./',
+    sensitive_layers_skip=False,
+    sensitive_layers_list={SENSITIVE_LAYERS},
+)
+
+qat = dict(
+    calib_pt='weights/{key}_opt_calib.msgpack',
+    sensitive_layers_skip=False,
+    sensitive_layers_list={SENSITIVE_LAYERS},
+)
+"""
+        emit(f"repopt/{key}_opt_qat.py", qat_model + quant_block,
+             qat_solver, AUG_SCRATCH_05, training_mode="repopt",
+             header=f"{key} QAT finetune stage (RepOpt step 3; "
+                    f"reference configs/repopt/{key}_opt_qat.py)")
 
     # ---- experiment family
     t = dict(depth=0.33, width=0.375, backbone="EfficientRep", neck="RepPANNeck",

@@ -43,7 +43,7 @@ class Evaler:
         height: int = 640,
         width: int = 640,
         max_det: int = 300,
-        max_nms: int = 2000,
+        max_nms: int = 8192,
         do_coco_metric: bool = True,
         do_pr_metric: bool = False,
         plot_curve: bool = False,
@@ -64,10 +64,11 @@ class Evaler:
         self.height = height
         self.width = width
         self.max_det = max_det
-        # candidate cap fed to NMS. The reference uses 30000
-        # (utils/nms.py:55); 2000 keeps the greedy loop off the critical path
-        # (452 -> ~40 ms/batch on v5e) and COCO scores at most the top-100
-        # detections per image, so the tail candidates don't move mAP.
+        # candidate cap fed to NMS. The reference uses 30000 exact
+        # (utils/nms.py:55); 8192 + approx_max_k measures 0.9997 detection
+        # agreement with that protocol on adversarially dense scenes at
+        # ~13 ms/b32 via the tiled keep kernel (sweep: docs/nms_fidelity.md,
+        # tools/nms_sweep.py). 2000 was 6 ms but only 0.915 agreement.
         self.max_nms = max_nms
         self.is_coco = data_dict.get("is_coco", False)
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
@@ -137,15 +138,35 @@ class Evaler:
         (reference: evaler.py:441-545 eval_trt).
 
         The artifact must be exported with --end2end and WITHOUT
-        --with-preprocess (float RGB input)."""
+        --with-preprocess (float RGB input).
+
+        A GSPMD artifact (exported with --shard-devices N) is executed over
+        an N-device ``data`` mesh with the batch sharded on axis 0; a plain
+        single-device artifact runs unsharded — feeding it a mesh-sharded
+        batch would raise a device-count mismatch, so the data-parallel
+        path is disabled for it."""
         from yolov6_tpu.models.end2end import load_exported
 
-        # The exported module was lowered for a single device; feeding it a
-        # mesh-sharded batch raises a device-count mismatch. Disable the
-        # data-parallel path so _device_put keeps batches on one device.
-        self.mesh = None
-
         art = load_exported(path)
+        nr = getattr(art, "nr_devices", 1)
+        if nr > 1:
+            if len(jax.devices()) < nr:
+                raise RuntimeError(
+                    f"artifact was exported for {nr} devices; "
+                    f"only {len(jax.devices())} available"
+                )
+            if self.batch_size % nr:
+                raise RuntimeError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"artifact's {nr}-device mesh"
+                )
+            from yolov6_tpu.parallel.mesh import create_mesh
+
+            self.mesh = create_mesh(nr)
+            LOGGER.info(f"artifact eval: GSPMD over {nr} devices")
+        else:
+            self.mesh = None
+
         max_det = self.max_det
 
         def _infer(_variables, imgs_u8):

@@ -12,6 +12,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolov6_tpu.models.effidehead import decode_eval
 from yolov6_tpu.ops.nms import non_max_suppression
@@ -56,15 +57,39 @@ def export_stablehlo(
     path: str,
     platforms: Optional[Tuple[str, ...]] = None,
     input_dtype=jnp.uint8,
+    shard_devices: int = 1,
 ):
-    """Serialize the serving function to a portable StableHLO artifact."""
+    """Serialize the serving function to a portable StableHLO artifact.
+
+    ``shard_devices > 1`` exports a GSPMD artifact: the batch axis is
+    sharded over a 1-D ``data`` mesh of that many devices, so one artifact
+    serves a multi-chip batch (XLA partitions the whole graph, NMS
+    included — the serving analog of the reference's multi-GPU DDP eval).
+    The caller must later invoke it with the batch sharded the same way
+    (Evaler.init_artifact does this automatically)."""
     from jax import export as jexport
 
     spec = jax.ShapeDtypeStruct((batch, img_size[0], img_size[1], 3), input_dtype)
     kwargs = {}
     if platforms:
         kwargs["platforms"] = list(platforms)
-    exported = jexport.export(jax.jit(serve_fn), **kwargs)(spec)
+    fn = jax.jit(serve_fn)
+    if shard_devices > 1:
+        if batch % shard_devices:
+            raise ValueError(f"batch {batch} not divisible by {shard_devices}")
+        if len(jax.devices()) < shard_devices:
+            raise ValueError(
+                f"need {shard_devices} devices to trace the sharded export, "
+                f"have {len(jax.devices())}"
+            )
+        mesh = jax.sharding.Mesh(
+            np.asarray(jax.devices()[:shard_devices]), ("data",)
+        )
+        batch_shd = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+        fn = jax.jit(serve_fn, in_shardings=batch_shd, out_shardings=batch_shd)
+    exported = jexport.export(fn, **kwargs)(spec)
     data = exported.serialize()
     with open(path, "wb") as f:
         f.write(data)

@@ -30,6 +30,10 @@ from yolov6_tpu.ops.boxes import xywh2xyxy
 MAX_WH = 4096  # reference: utils/nms.py:54
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _iou_1_to_many(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
     """IoU of one [4] xyxy box against [N,4]."""
     lt = jnp.maximum(box[:2], boxes[:, :2])
@@ -49,11 +53,12 @@ def _single_image_nms(
     multi_label: bool,
     agnostic: bool,
     class_mask: Optional[jnp.ndarray],
+    exact_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pred [A, 5+nc] -> (detections [max_det, 6], valid [max_det]).
     XLA-loop fallback path (non-TPU backends)."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
-        pred, conf_thres, max_nms, multi_label, agnostic, class_mask
+        pred, conf_thres, max_nms, multi_label, agnostic, class_mask, exact_topk
     )
     cand_valid = top_scores > conf_thres
 
@@ -83,36 +88,159 @@ def _single_image_nms(
     return dets, out_valid
 
 
+def _pairwise_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU of [N,4] xyxy boxes against [M,4] -> [N,M]."""
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    inter = jnp.prod(jnp.clip(rb - lt, 0, None), axis=-1)
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (area_a[:, None] + area_b[None, :] - inter + 1e-12)
+
+
+def _tiled_keep(
+    nms_boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_thres: float,
+    max_det: int = 300,
+    tile: int = 256,
+) -> jnp.ndarray:
+    """Greedy-NMS keep mask over score-sorted candidates, exact for the
+    first ``max_det`` kept boxes (all a caller can emit).
+
+    Replaces the max_det-step sequential greedy loop with K/tile sequential
+    steps of batched VPU work; per tile (score order):
+
+      1. cross-tile: suppress against the *compacted buffer* of previously
+         kept boxes (one [tile, C] IoU + reduce). The buffer caps at
+         C >= max_det entries — a kept box beyond rank max_det can only
+         suppress candidates that rank after max_det kept boxes and so can
+         never be emitted; dropping it cannot change the top-max_det output.
+      2. within-tile: resolve the greedy order by a Jacobi fixed-point on
+         the [tile, tile] strict-upper-triangular overlap mask. Each sweep
+         finalizes at least one more rank (rank r is final after r sweeps,
+         by induction), and any fixed point satisfies the greedy recurrence
+         ``keep[j] = valid[j] and no kept i<j overlaps j`` — so the
+         early-exit on convergence is exact, not approximate.
+
+    Args: nms_boxes [K,4] xyxy (class-offset applied), scores [K] descending,
+    zeroed below conf. Returns kept [K] bool (exact up to max_det kept).
+    """
+    K = scores.shape[0]
+    tile = min(tile, K)
+    pad = (-K) % tile
+    if pad:
+        nms_boxes = jnp.pad(nms_boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad))
+        K = K + pad
+    n_tiles = K // tile
+    C = max(_round_up(max_det, 128), 128)
+    valid = scores > 0.0
+    rank_t = jnp.arange(tile)
+    upper = rank_t[:, None] < rank_t[None, :]  # [T,T] i suppresses j only if i<j
+
+    def step(carry):
+        t, kept, buf, n_kept = carry
+        t0 = t * tile
+        boxes_t = jax.lax.dynamic_slice(nms_boxes, (t0, 0), (tile, 4))
+        ok = jax.lax.dynamic_slice(valid, (t0,), (tile,))
+        iou_buf = _pairwise_iou(boxes_t, buf)  # [T, C]
+        buf_live = jnp.arange(C) < n_kept
+        ok &= ~jnp.any((iou_buf > iou_thres) & buf_live[None, :], axis=1)
+        over = _pairwise_iou(boxes_t, boxes_t)
+        over = (over > iou_thres) & upper
+
+        def sweep(state):
+            k_cur, _, n = state
+            k_new = ok & ~jnp.any(over & k_cur[:, None], axis=0)
+            return k_new, jnp.any(k_new != k_cur), n + 1
+
+        k_tile, _, _ = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < tile), sweep, (ok, True, 0)
+        )
+        pos = n_kept + jnp.cumsum(k_tile.astype(jnp.int32)) - 1
+        pos = jnp.where(k_tile, pos, C)  # OOB rows dropped by the scatter
+        buf = buf.at[pos].set(boxes_t, mode="drop", unique_indices=True)
+        n_kept = n_kept + jnp.sum(k_tile.astype(jnp.int32))
+        kept = jax.lax.dynamic_update_slice(kept, k_tile, (t0,))
+        return (t + 1, kept, buf, n_kept)
+
+    # Tiles run under a while_loop so the sweep stops as soon as max_det
+    # boxes are kept (dense eval-protocol scenes saturate within the first
+    # few tiles — unprocessed tails can never be emitted). Under vmap the
+    # exit condition ORs across the batch.
+    init = (jnp.int32(0), jnp.zeros((K,), bool),
+            jnp.zeros((C, 4), jnp.float32), jnp.int32(0))
+    _, kept, _, _ = jax.lax.while_loop(
+        lambda c: (c[0] < n_tiles) & (c[3] < max_det), step, init
+    )
+    return kept[: scores.shape[0] - pad] if pad else kept
+
+
+def _emit_topk_kept(cand_boxes, scores, cls_idx, kept, max_det):
+    """Scatter the first ``max_det`` kept candidates (score order) into
+    fixed-shape outputs: (dets [max_det, 6], valid [max_det])."""
+    pos = jnp.cumsum(kept.astype(jnp.int32)) - 1
+    pos = jnp.where(kept, pos, max_det)  # OOB rows dropped by the scatter
+    rows = jnp.concatenate(
+        [cand_boxes, scores[:, None], cls_idx[:, None]], axis=-1
+    )
+    dets = jnp.zeros((max_det, 6), jnp.float32).at[pos].set(
+        rows, mode="drop", unique_indices=True
+    )
+    valid = jnp.zeros((max_det,), bool).at[pos].set(
+        kept, mode="drop", unique_indices=True
+    )
+    return dets, valid
+
+
+def _single_image_nms_tiled(
+    pred, conf_thres, iou_thres, max_det, max_nms, multi_label, agnostic,
+    class_mask, exact_topk=False,
+):
+    """Tiled exact-greedy path: same keep-set as _single_image_nms."""
+    cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
+        pred, conf_thres, max_nms, multi_label, agnostic, class_mask, exact_topk
+    )
+    kept = _tiled_keep(nms_boxes, top_scores, iou_thres, max_det=max_det)
+    return _emit_topk_kept(cand_boxes, top_scores, cls_idx, kept, max_det)
+
+
 def _select_candidates(
-    pred, conf_thres, max_nms, multi_label, agnostic, class_mask
+    pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
+    exact_topk=False,
 ):
     """Single-image candidate selection: (raw_boxes [K,4], nms_boxes [K,4],
-    scores [K], cls [K]). Scores are zeroed below conf_thres."""
+    scores [K], cls [K]). Scores are zeroed below conf_thres.
+
+    The max_nms prefilter uses approx_max_k by default (TPU-efficient
+    bucketed reduction); exact_topk forces lax.top_k. Fidelity of both vs
+    the reference's 30000 exact cap is measured in docs/nms_fidelity.md
+    (tools/nms_sweep.py)."""
     nc = pred.shape[-1] - 5
     boxes = xywh2xyxy(pred[:, :4])
     scores = pred[:, 5:] * pred[:, 4:5]
     if class_mask is not None:
         scores = scores * class_mask[None, :]
 
+    def _topk(vals, k):
+        if k >= vals.shape[0]:
+            return jax.lax.top_k(vals, vals.shape[0])
+        if exact_topk:
+            return jax.lax.top_k(vals, k)
+        return jax.lax.approx_max_k(vals, k)
+
     if multi_label and nc > 1:
         flat = scores.reshape(-1)
         flat = jnp.where(flat > conf_thres, flat, 0.0)
-        k = min(max_nms, flat.shape[0])
-        if k < flat.shape[0]:
-            top_scores, top_idx = jax.lax.approx_max_k(flat, k)
-        else:
-            top_scores, top_idx = jax.lax.top_k(flat, k)
+        top_scores, top_idx = _topk(flat, min(max_nms, flat.shape[0]))
         box_idx = top_idx // nc
         cls_idx = (top_idx % nc).astype(jnp.float32)
     else:
         best = jnp.max(scores, axis=-1)
         cls = jnp.argmax(scores, axis=-1).astype(jnp.float32)
         best = jnp.where(best > conf_thres, best, 0.0)
-        k = min(max_nms, best.shape[0])
-        if k < best.shape[0]:
-            top_scores, box_idx = jax.lax.approx_max_k(best, k)
-        else:
-            top_scores, box_idx = jax.lax.top_k(best, k)
+        top_scores, box_idx = _topk(best, min(max_nms, best.shape[0]))
         cls_idx = cls[box_idx]
 
     cand_boxes = boxes[box_idx]
@@ -126,7 +254,7 @@ def _select_candidates(
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
-        "agnostic", "use_pallas",
+        "agnostic", "use_pallas", "exact_topk", "method",
     ),
 )
 def non_max_suppression(
@@ -139,24 +267,38 @@ def non_max_suppression(
     agnostic: bool = False,
     class_mask: Optional[jnp.ndarray] = None,
     use_pallas: Optional[bool] = None,
+    exact_topk: bool = False,
+    method: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched NMS over [b, A, 5+nc] predictions.
 
     Returns (detections [b, max_det, 6] as xyxy/conf/cls, valid [b, max_det]).
     ``class_mask`` is an optional [nc] 0/1 vector implementing the reference's
     ``classes`` filter (reference :83-84) without a dynamic shape.
-    The greedy loop runs as a Pallas VMEM-resident kernel on TPU
-    (ops/pallas/nms_kernel.py, ~1.8x the XLA loop) and as an XLA fori_loop
-    elsewhere; results are identical.
-    """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
 
-    if use_pallas:
+    Three selection backends produce identical keep-sets (tests/test_nms.py):
+      - 'tiled'  — tile-parallel exact greedy (_tiled_keep): K/256 sequential
+                   steps of batched IoU work; default everywhere (fastest on
+                   TPU and CPU).
+      - 'pallas' — VMEM-resident sequential loop (ops/pallas/nms_kernel.py),
+                   max_det sequential steps; TPU only.
+      - 'loop'   — XLA fori_loop fallback, max_det sequential steps.
+    ``use_pallas`` is the legacy knob: True -> 'pallas', False -> non-pallas
+    default ('tiled').
+    """
+    if method is None:
+        if use_pallas:
+            method = "pallas"
+        else:
+            method = "tiled"
+    if method == "pallas" and jax.default_backend() != "tpu":
+        method = "tiled"
+
+    if method == "pallas":
         sel = partial(
             _select_candidates,
             conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
-            agnostic=agnostic, class_mask=class_mask,
+            agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
         )
         cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
             prediction.astype(jnp.float32)
@@ -175,7 +317,7 @@ def non_max_suppression(
         return dets, valid
 
     fn = partial(
-        _single_image_nms,
+        _single_image_nms_tiled if method == "tiled" else _single_image_nms,
         conf_thres=conf_thres,
         iou_thres=iou_thres,
         max_det=max_det,
@@ -183,5 +325,6 @@ def non_max_suppression(
         multi_label=multi_label,
         agnostic=agnostic,
         class_mask=class_mask,
+        exact_topk=exact_topk,
     )
     return jax.vmap(fn)(prediction.astype(jnp.float32))
