@@ -26,10 +26,11 @@ from nms_sweep import dense_scenes, keep_sets, agreement  # noqa: E402
 from yolov6_tpu.ops.nms import non_max_suppression  # noqa: E402
 
 
-def _run(pred, max_nms, method, exact=True):
+def _run(pred, max_nms, method, exact=True, anchor_topc=16):
     dets, valid = non_max_suppression(
         jnp.asarray(pred), conf_thres=0.03, iou_thres=0.65, max_det=300,
         max_nms=max_nms, multi_label=True, exact_topk=exact, method=method,
+        anchor_topc=anchor_topc,
     )
     return keep_sets(np.asarray(dets), np.asarray(valid))
 
@@ -52,6 +53,21 @@ def test_flood_scene_needs_large_cap():
     small = _run(pred, 2048, "tiled")
     det_small, _ = agreement(base, small)
     assert det_small < 0.7, f"flood scene unexpectedly survived: {det_small}"
+
+
+def test_anchor_topc_prereduction_lossless():
+    """The per-anchor top-C class pre-reduction (selection over A*C instead
+    of A*nc elements) keeps the final detection set identical to the full
+    A*nc path on both scene families — a dropped 17th-best class of an
+    anchor never survives the global top-k + greedy keep + top-300 emit.
+    The default (16) and an aggressive 8 are both exact here."""
+    for scene in ("mixed", "flood"):
+        pred, _ = dense_scenes(batch=2, anchors=8400, nc=80, seed=5,
+                               scene=scene)
+        base = _run(pred, 8192, "tiled", anchor_topc=0)
+        for topc in (8, 16):
+            cut = _run(pred, 8192, "tiled", anchor_topc=topc)
+            assert cut == base, (scene, topc)
 
 
 def test_tiled_matches_loop_backend():

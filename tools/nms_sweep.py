@@ -161,6 +161,8 @@ def main():
                     default="all")
     ap.add_argument("--method", choices=("tiled", "pallas", "loop"),
                     default=None, help="selection backend (default: auto)")
+    ap.add_argument("--anchor-topc", type=int, default=16,
+                    help="per-anchor class pre-reduction (0 disables)")
     ap.add_argument("--max-nms", type=int, nargs="*", default=None,
                     help="override the sweep's max_nms values")
     ap.add_argument("--time", action="store_true",
@@ -190,15 +192,17 @@ def main():
               f"min={n_cand.min()} mean={n_cand.mean():.0f} max={n_cand.max()}")
         pred = jnp.asarray(pred_np)
 
-        def run(max_nms, exact):
+        def run(max_nms, exact, topc=None):
             dets, valid = non_max_suppression(
                 pred, conf_thres=0.03, iou_thres=0.65, max_det=300,
                 max_nms=max_nms, multi_label=True, exact_topk=exact,
                 method=args.method,
+                anchor_topc=args.anchor_topc if topc is None else topc,
             )
             return jax.device_get(dets), jax.device_get(valid)
 
-        base_sets = keep_sets(*run(30000, True))
+        # baseline = the reference protocol: all A*nc candidates, exact top-k
+        base_sets = keep_sets(*run(30000, True, topc=0))
         print(f"[{scene}] baseline (30000, exact): "
               f"{sum(len(s) for s in base_sets)} kept dets")
 
@@ -210,6 +214,7 @@ def main():
                 row = {
                     "scene": scene,
                     "method": args.method or "auto",
+                    "anchor_topc": args.anchor_topc,
                     "max_nms": max_nms,
                     "topk": "exact" if exact else "approx",
                     "det_agreement": round(det_agree, 5),
@@ -224,6 +229,7 @@ def main():
                                 conf_thres=0.03, iou_thres=0.65, max_det=300,
                                 max_nms=_max_nms, multi_label=True,
                                 exact_topk=_exact, method=args.method,
+                                anchor_topc=args.anchor_topc,
                             )
                             return acc + jnp.sum(d) * 1e-9
                         return jax.lax.fori_loop(0, n, body, jnp.float32(0))

@@ -473,6 +473,13 @@ class Trainer:
                 "epoch": self.epoch,
                 "results": [float(v) for v in self.evaluate_results],
             }
+            if self.quant_collection is not None:
+                # persist the frozen calibrated ranges so the QAT checkpoint
+                # deploys standalone (reference: qat ckpts embed the
+                # pytorch-quantization observer state)
+                q_host = jax.device_get(self.quant_collection)
+                ckpt["model"]["quant"] = q_host
+                ckpt["ema"]["quant"] = q_host
             save_checkpoint(
                 ckpt, is_val_epoch and (self.ap == self.best_ap), save_ckpt_dir, "last_ckpt"
             )
@@ -540,6 +547,10 @@ class Trainer:
         ema_variables = {"params": self.state.ema_params}
         if self.state.ema_batch_stats:
             ema_variables["batch_stats"] = self.state.ema_batch_stats
+        if self.quant_collection is not None:
+            # QAT: QConv reads its calibrated amax from the 'quant'
+            # collection — eval with quant mode active needs it in variables
+            ema_variables["quant"] = self.quant_collection
 
         ep = self.cfg.get("eval_params") or {}
 

@@ -54,11 +54,13 @@ def _single_image_nms(
     agnostic: bool,
     class_mask: Optional[jnp.ndarray],
     exact_topk: bool = False,
+    anchor_topc: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pred [A, 5+nc] -> (detections [max_det, 6], valid [max_det]).
     XLA-loop fallback path (non-TPU backends)."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
-        pred, conf_thres, max_nms, multi_label, agnostic, class_mask, exact_topk
+        pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
+        exact_topk, anchor_topc,
     )
     cand_valid = top_scores > conf_thres
 
@@ -165,14 +167,18 @@ def _tiled_keep(
         kept = jax.lax.dynamic_update_slice(kept, k_tile, (t0,))
         return (t + 1, kept, buf, n_kept)
 
-    # Tiles run under a while_loop so the sweep stops as soon as max_det
-    # boxes are kept (dense eval-protocol scenes saturate within the first
-    # few tiles — unprocessed tails can never be emitted). Under vmap the
-    # exit condition ORs across the batch.
+    # Tiles run under a while_loop with two exits: (a) max_det boxes kept —
+    # dense eval-protocol scenes saturate within the first few tiles and
+    # unprocessed tails can never be emitted; (b) candidates exhausted —
+    # scores are sorted descending, so tiles past the last valid candidate
+    # are all-invalid (sparse high-conf inference scenes run ~1 tile).
+    # Under vmap the exit condition ORs across the batch.
+    n_live_tiles = (jnp.sum(valid.astype(jnp.int32)) + tile - 1) // tile
     init = (jnp.int32(0), jnp.zeros((K,), bool),
             jnp.zeros((C, 4), jnp.float32), jnp.int32(0))
     _, kept, _, _ = jax.lax.while_loop(
-        lambda c: (c[0] < n_tiles) & (c[3] < max_det), step, init
+        lambda c: (c[0] < jnp.minimum(n_tiles, n_live_tiles)) & (c[3] < max_det),
+        step, init,
     )
     return kept[: scores.shape[0] - pad] if pad else kept
 
@@ -196,27 +202,34 @@ def _emit_topk_kept(cand_boxes, scores, cls_idx, kept, max_det):
 
 def _single_image_nms_tiled(
     pred, conf_thres, iou_thres, max_det, max_nms, multi_label, agnostic,
-    class_mask, exact_topk=False,
+    class_mask, exact_topk=False, anchor_topc=16, tile=256,
 ):
     """Tiled exact-greedy path: same keep-set as _single_image_nms."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
-        pred, conf_thres, max_nms, multi_label, agnostic, class_mask, exact_topk
+        pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
+        exact_topk, anchor_topc,
     )
-    kept = _tiled_keep(nms_boxes, top_scores, iou_thres, max_det=max_det)
+    kept = _tiled_keep(nms_boxes, top_scores, iou_thres, max_det=max_det,
+                       tile=tile)
     return _emit_topk_kept(cand_boxes, top_scores, cls_idx, kept, max_det)
 
 
 def _select_candidates(
     pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-    exact_topk=False,
+    exact_topk=False, anchor_topc=16,
 ):
     """Single-image candidate selection: (raw_boxes [K,4], nms_boxes [K,4],
     scores [K], cls [K]). Scores are zeroed below conf_thres.
 
     The max_nms prefilter uses approx_max_k by default (TPU-efficient
-    bucketed reduction); exact_topk forces lax.top_k. Fidelity of both vs
-    the reference's 30000 exact cap is measured in docs/nms_fidelity.md
-    (tools/nms_sweep.py)."""
+    bucketed reduction); exact_topk forces lax.top_k. In the multi-label
+    path, ``anchor_topc`` first reduces each anchor to its top-C classes
+    (a cheap vectorized row top-k) so the global top-k runs over A*C
+    instead of A*nc elements — exact whenever no anchor has more than C
+    classes above conf_thres (real detector heads are far below this; the
+    reference keeps all A*nc, utils/nms.py:76-77). 0 disables. Fidelity of
+    all knobs vs the reference's 30000 exact cap is measured in
+    docs/nms_fidelity.md (tools/nms_sweep.py)."""
     nc = pred.shape[-1] - 5
     boxes = xywh2xyxy(pred[:, :4])
     scores = pred[:, 5:] * pred[:, 4:5]
@@ -231,11 +244,19 @@ def _select_candidates(
         return jax.lax.approx_max_k(vals, k)
 
     if multi_label and nc > 1:
-        flat = scores.reshape(-1)
-        flat = jnp.where(flat > conf_thres, flat, 0.0)
-        top_scores, top_idx = _topk(flat, min(max_nms, flat.shape[0]))
-        box_idx = top_idx // nc
-        cls_idx = (top_idx % nc).astype(jnp.float32)
+        if 0 < anchor_topc < nc:
+            row_scores, row_cls = jax.lax.top_k(scores, anchor_topc)  # [A,C]
+            flat = row_scores.reshape(-1)
+            flat = jnp.where(flat > conf_thres, flat, 0.0)
+            top_scores, top_idx = _topk(flat, min(max_nms, flat.shape[0]))
+            box_idx = top_idx // anchor_topc
+            cls_idx = row_cls.reshape(-1)[top_idx].astype(jnp.float32)
+        else:
+            flat = scores.reshape(-1)
+            flat = jnp.where(flat > conf_thres, flat, 0.0)
+            top_scores, top_idx = _topk(flat, min(max_nms, flat.shape[0]))
+            box_idx = top_idx // nc
+            cls_idx = (top_idx % nc).astype(jnp.float32)
     else:
         best = jnp.max(scores, axis=-1)
         cls = jnp.argmax(scores, axis=-1).astype(jnp.float32)
@@ -254,7 +275,8 @@ def _select_candidates(
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
-        "agnostic", "use_pallas", "exact_topk", "method",
+        "agnostic", "use_pallas", "exact_topk", "method", "anchor_topc",
+        "tile",
     ),
 )
 def non_max_suppression(
@@ -269,6 +291,8 @@ def non_max_suppression(
     use_pallas: Optional[bool] = None,
     exact_topk: bool = False,
     method: Optional[str] = None,
+    anchor_topc: int = 16,
+    tile: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched NMS over [b, A, 5+nc] predictions.
 
@@ -299,6 +323,7 @@ def non_max_suppression(
             _select_candidates,
             conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
             agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
+            anchor_topc=anchor_topc,
         )
         cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
             prediction.astype(jnp.float32)
@@ -326,5 +351,8 @@ def non_max_suppression(
         agnostic=agnostic,
         class_mask=class_mask,
         exact_topk=exact_topk,
+        anchor_topc=anchor_topc,
     )
+    if method == "tiled":
+        fn = partial(fn, tile=tile)
     return jax.vmap(fn)(prediction.astype(jnp.float32))
