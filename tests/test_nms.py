@@ -116,6 +116,37 @@ def test_nms_low_conf_eval_protocol():
     _check(preds, want, *got)
 
 
+def test_nms_perclass_backend_oracle():
+    """'perclass' keep (block-diagonal Jacobi) matches the oracle on every
+    protocol, on both of its runtime paths: the per-class fast path
+    (class_cap ample) and the in-graph lax.cond fallback to tiled
+    (class_cap=8 forces overflow)."""
+    for cap in (512, 8):
+        preds = _random_preds(seed=5)
+        want = oracle_nms(preds, 0.3, 0.65, multi_label=True)
+        got = non_max_suppression(
+            jnp.asarray(preds), 0.3, 0.65, multi_label=True,
+            method="perclass", class_cap=cap,
+        )
+        _check(preds, want, *got)
+        # eval protocol: dense candidate load
+        preds = _random_preds(b=1, a=800, seed=6)
+        want = oracle_nms(preds, 0.03, 0.65, multi_label=True)
+        got = non_max_suppression(
+            jnp.asarray(preds), 0.03, 0.65, multi_label=True,
+            method="perclass", class_cap=cap,
+        )
+        _check(preds, want, *got)
+    # agnostic statically falls back to tiled (classes not independent)
+    preds = _random_preds(seed=7)
+    want = oracle_nms(preds, 0.3, 0.65, agnostic=True, multi_label=True)
+    got = non_max_suppression(
+        jnp.asarray(preds), 0.3, 0.65, multi_label=True, agnostic=True,
+        method="perclass",
+    )
+    _check(preds, want, *got)
+
+
 def test_nms_class_filter():
     preds = _random_preds(seed=3)
     keep_classes = [1, 4]

@@ -80,3 +80,7 @@ def test_tiled_matches_loop_backend():
             tiled = _run(pred, max_nms, "tiled")
             loop = _run(pred, max_nms, "loop")
             assert tiled == loop, (scene, max_nms)
+            # perclass: the flood scene overflows class_cap (fallback path),
+            # the mixed scene stays on the per-class Jacobi fast path
+            perclass = _run(pred, max_nms, "perclass")
+            assert perclass == loop, (scene, max_nms, "perclass")

@@ -159,10 +159,16 @@ def main():
     ap.add_argument("--nc", type=int, default=80)
     ap.add_argument("--scene", choices=("mixed", "flood", "all"),
                     default="all")
-    ap.add_argument("--method", choices=("tiled", "pallas", "loop"),
+    ap.add_argument("--method", choices=("tiled", "pallas", "loop", "perclass"),
                     default=None, help="selection backend (default: auto)")
     ap.add_argument("--anchor-topc", type=int, default=16,
                     help="per-anchor class pre-reduction (0 disables)")
+    ap.add_argument("--tile", type=int, default=256,
+                    help="tiled-keep tile size")
+    ap.add_argument("--recall-target", type=float, default=0.95,
+                    help="approx_max_k recall target")
+    ap.add_argument("--class-cap", type=int, default=256,
+                    help="perclass bucket capacity (overflow falls back)")
     ap.add_argument("--max-nms", type=int, nargs="*", default=None,
                     help="override the sweep's max_nms values")
     ap.add_argument("--time", action="store_true",
@@ -198,6 +204,8 @@ def main():
                 max_nms=max_nms, multi_label=True, exact_topk=exact,
                 method=args.method,
                 anchor_topc=args.anchor_topc if topc is None else topc,
+                tile=args.tile, recall_target=args.recall_target,
+                class_cap=args.class_cap,
             )
             return jax.device_get(dets), jax.device_get(valid)
 
@@ -215,6 +223,9 @@ def main():
                     "scene": scene,
                     "method": args.method or "auto",
                     "anchor_topc": args.anchor_topc,
+                    "tile": args.tile,
+                    "recall_target": args.recall_target,
+                    "class_cap": args.class_cap,
                     "max_nms": max_nms,
                     "topk": "exact" if exact else "approx",
                     "det_agreement": round(det_agree, 5),
@@ -230,6 +241,9 @@ def main():
                                 max_nms=_max_nms, multi_label=True,
                                 exact_topk=_exact, method=args.method,
                                 anchor_topc=args.anchor_topc,
+                                tile=args.tile,
+                                recall_target=args.recall_target,
+                                class_cap=args.class_cap,
                             )
                             return acc + jnp.sum(d) * 1e-9
                         return jax.lax.fori_loop(0, n, body, jnp.float32(0))

@@ -183,6 +183,78 @@ def _tiled_keep(
     return kept[: scores.shape[0] - pad] if pad else kept
 
 
+def _per_class_keep(
+    nms_boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    cls_rank: jnp.ndarray,
+    cls_int: jnp.ndarray,
+    iou_thres: float,
+    nc: int,
+    cap: int,
+) -> jnp.ndarray:
+    """Greedy-NMS keep via per-class parallel Jacobi.
+
+    The class-offset trick makes the suppression graph block-diagonal by
+    class (reference: utils/nms.py:94-96) — so instead of one long greedy
+    chain over K mixed-class candidates, scatter each class's candidates
+    (score order preserved) into a [nc, cap] bucket grid and resolve ALL
+    classes' greedy recurrences simultaneously with a Jacobi fixed-point on
+    the [nc, cap, cap] strict-upper overlap mask. Sequential depth collapses
+    from (live_tiles x sweeps) to just the max per-class chain depth.
+
+    EXACT only when every class has <= cap candidates; the caller checks
+    per-class counts and falls back to _tiled_keep otherwise (lax.cond with
+    an unbatched predicate, so only one branch executes).
+
+    Args: nms_boxes [K,4] (offsets irrelevant within a class), scores [K]
+    descending (0 below conf), cls_rank [K] in-class rank, cls_int [K]
+    int32 class (= nc for invalid rows). Returns kept [K] bool.
+    """
+    valid = scores > 0.0
+    in_cap = valid & (cls_rank < cap)
+    bucket_boxes = jnp.zeros((nc, cap, 4), jnp.float32).at[cls_int, cls_rank].set(
+        nms_boxes, mode="drop"
+    )
+    bucket_valid = jnp.zeros((nc, cap), bool).at[cls_int, cls_rank].set(
+        in_cap, mode="drop"
+    )
+    over = jax.vmap(_pairwise_iou)(bucket_boxes, bucket_boxes) > iou_thres
+    rk = jnp.arange(cap)
+    over &= (rk[:, None] < rk[None, :])[None]  # i suppresses j only if i<j
+    over &= bucket_valid[:, :, None] & bucket_valid[:, None, :]
+
+    def sweep(state):
+        k_cur, _, n = state
+        # greedy recurrence per class c: keep[c,j] = valid[c,j] and no kept
+        # i<j overlaps j. Rank r is final after r sweeps; any fixed point
+        # satisfies the recurrence, so early-exit on convergence is exact.
+        k_new = bucket_valid & ~jnp.any(over & k_cur[:, :, None], axis=1)
+        return k_new, jnp.any(k_new != k_cur), n + 1
+
+    kept_b, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < cap), sweep, (bucket_valid, True, 0)
+    )
+    safe_c = jnp.minimum(cls_int, nc - 1)
+    safe_r = jnp.minimum(cls_rank, cap - 1)
+    return kept_b[safe_c, safe_r] & in_cap
+
+
+def _class_ranks(scores: jnp.ndarray, cls_idx: jnp.ndarray, nc: int):
+    """(cls_rank [K], cls_int [K], max_count scalar) for score-sorted
+    candidates: in-class rank via a one-hot cumsum (invalid rows -> class
+    nc, rank clamped out of range)."""
+    valid = scores > 0.0
+    cls_int = jnp.where(valid, cls_idx.astype(jnp.int32), nc)
+    onehot = (cls_int[:, None] == jnp.arange(nc)[None, :]).astype(jnp.int32)
+    csum = jnp.cumsum(onehot, axis=0)
+    rank = jnp.take_along_axis(
+        csum, jnp.minimum(cls_int, nc - 1)[:, None], axis=1
+    )[:, 0] - 1
+    rank = jnp.where(valid, rank, scores.shape[0])
+    max_count = jnp.max(csum[-1])
+    return rank, cls_int, max_count
+
+
 def _emit_topk_kept(cand_boxes, scores, cls_idx, kept, max_det):
     """Scatter the first ``max_det`` kept candidates (score order) into
     fixed-shape outputs: (dets [max_det, 6], valid [max_det])."""
@@ -216,7 +288,7 @@ def _single_image_nms_tiled(
 
 def _select_candidates(
     pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-    exact_topk=False, anchor_topc=16,
+    exact_topk=False, anchor_topc=16, recall_target=0.95,
 ):
     """Single-image candidate selection: (raw_boxes [K,4], nms_boxes [K,4],
     scores [K], cls [K]). Scores are zeroed below conf_thres.
@@ -241,7 +313,7 @@ def _select_candidates(
             return jax.lax.top_k(vals, vals.shape[0])
         if exact_topk:
             return jax.lax.top_k(vals, k)
-        return jax.lax.approx_max_k(vals, k)
+        return jax.lax.approx_max_k(vals, k, recall_target=recall_target)
 
     if multi_label and nc > 1:
         if 0 < anchor_topc < nc:
@@ -276,7 +348,7 @@ def _select_candidates(
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
         "agnostic", "use_pallas", "exact_topk", "method", "anchor_topc",
-        "tile",
+        "tile", "recall_target", "class_cap",
     ),
 )
 def non_max_suppression(
@@ -293,6 +365,8 @@ def non_max_suppression(
     method: Optional[str] = None,
     anchor_topc: int = 16,
     tile: int = 256,
+    recall_target: float = 0.95,
+    class_cap: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched NMS over [b, A, 5+nc] predictions.
 
@@ -300,16 +374,22 @@ def non_max_suppression(
     ``class_mask`` is an optional [nc] 0/1 vector implementing the reference's
     ``classes`` filter (reference :83-84) without a dynamic shape.
 
-    Three selection backends produce identical keep-sets (tests/test_nms.py):
-      - 'tiled'  — tile-parallel exact greedy (_tiled_keep): K/256 sequential
-                   steps of batched IoU work; default everywhere (fastest on
-                   TPU and CPU).
+    Four keep backends produce identical keep-sets (tests/test_nms.py):
+      - 'perclass' — per-class parallel Jacobi (_per_class_keep): the
+                   class-offset suppression graph is block-diagonal, so all
+                   classes resolve simultaneously; sequential depth = max
+                   greedy chain depth. Falls back to 'tiled' in-graph
+                   (lax.cond) when any class exceeds ``class_cap``
+                   candidates, and statically for agnostic/1-class.
+      - 'tiled'  — tile-parallel exact greedy (_tiled_keep): K/tile
+                   sequential steps of batched IoU work; default.
       - 'pallas' — VMEM-resident sequential loop (ops/pallas/nms_kernel.py),
                    max_det sequential steps; TPU only.
       - 'loop'   — XLA fori_loop fallback, max_det sequential steps.
     ``use_pallas`` is the legacy knob: True -> 'pallas', False -> non-pallas
     default ('tiled').
     """
+    nc = prediction.shape[-1] - 5
     if method is None:
         if use_pallas:
             method = "pallas"
@@ -317,6 +397,43 @@ def non_max_suppression(
             method = "tiled"
     if method == "pallas" and jax.default_backend() != "tpu":
         method = "tiled"
+    # per-class parallel keep needs class-independent suppression (not
+    # agnostic) and a sane [nc, cap, cap] mask footprint
+    if method == "perclass" and (agnostic or nc <= 1 or nc * class_cap ** 2 > 2 ** 24):
+        method = "tiled"
+
+    if method == "perclass":
+        sel = partial(
+            _select_candidates,
+            conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
+            agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
+            anchor_topc=anchor_topc, recall_target=recall_target,
+        )
+        cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
+            prediction.astype(jnp.float32)
+        )
+        ranks, cls_int, max_counts = jax.vmap(
+            partial(_class_ranks, nc=nc)
+        )(scores, cls_idx)
+        # unbatched predicate -> lax.cond stays a branch (one side executes):
+        # overflow anywhere in the batch falls the whole batch back to the
+        # tiled exact path, keeping the keep-set exact in all cases
+        overflow = jnp.any(max_counts > class_cap)
+        kept = jax.lax.cond(
+            overflow,
+            lambda ops: jax.vmap(
+                partial(_tiled_keep, iou_thres=iou_thres, max_det=max_det,
+                        tile=tile)
+            )(ops[0], ops[1]),
+            lambda ops: jax.vmap(
+                partial(_per_class_keep, iou_thres=iou_thres, nc=nc,
+                        cap=class_cap)
+            )(*ops),
+            (nms_boxes, scores, ranks, cls_int),
+        )
+        return jax.vmap(partial(_emit_topk_kept, max_det=max_det))(
+            cand_boxes, scores, cls_idx, kept
+        )
 
     if method == "pallas":
         sel = partial(
