@@ -163,8 +163,11 @@ def main():
                     default=None, help="selection backend (default: auto)")
     ap.add_argument("--anchor-topc", type=int, default=16,
                     help="per-anchor class pre-reduction (0 disables)")
-    ap.add_argument("--tile", type=int, default=256,
-                    help="tiled-keep tile size")
+    ap.add_argument("--tile", type=int, nargs="*", default=[256],
+                    help="tiled-keep tile size(s) — multiple values sweep "
+                         "in one process (amortizes scene gen + baseline)")
+    ap.add_argument("--approx-only", action="store_true",
+                    help="skip the exact-top-k arm of each config")
     ap.add_argument("--recall-target", type=float, default=0.95,
                     help="approx_max_k recall target")
     ap.add_argument("--class-cap", type=int, default=256,
@@ -173,6 +176,9 @@ def main():
                     help="override the sweep's max_nms values")
     ap.add_argument("--time", action="store_true",
                     help="also measure per-config on-device time (TPU protocol)")
+    ap.add_argument("--time-phases", action="store_true",
+                    help="also time candidate selection alone (keep-phase "
+                         "cost = ms_per_batch - ms_select)")
     ap.add_argument("--out-json", type=str, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon TPU plugin ignores "
@@ -198,13 +204,14 @@ def main():
               f"min={n_cand.min()} mean={n_cand.mean():.0f} max={n_cand.max()}")
         pred = jnp.asarray(pred_np)
 
-        def run(max_nms, exact, topc=None):
+        def run(max_nms, exact, topc=None, tile=None):
             dets, valid = non_max_suppression(
                 pred, conf_thres=0.03, iou_thres=0.65, max_det=300,
                 max_nms=max_nms, multi_label=True, exact_topk=exact,
                 method=args.method,
                 anchor_topc=args.anchor_topc if topc is None else topc,
-                tile=args.tile, recall_target=args.recall_target,
+                tile=args.tile[0] if tile is None else tile,
+                recall_target=args.recall_target,
                 class_cap=args.class_cap,
             )
             return jax.device_get(dets), jax.device_get(valid)
@@ -216,14 +223,15 @@ def main():
 
         rows = []
         for max_nms in (args.max_nms or (2000, 8000, 30000)):
-            for exact in (False, True):
-                sets = keep_sets(*run(max_nms, exact))
+            for exact in ((False,) if args.approx_only else (False, True)):
+              for tile in args.tile:
+                sets = keep_sets(*run(max_nms, exact, tile=tile))
                 det_agree, score_agree = agreement(base_sets, sets)
                 row = {
                     "scene": scene,
                     "method": args.method or "auto",
                     "anchor_topc": args.anchor_topc,
-                    "tile": args.tile,
+                    "tile": tile,
                     "recall_target": args.recall_target,
                     "class_cap": args.class_cap,
                     "max_nms": max_nms,
@@ -233,7 +241,8 @@ def main():
                 }
                 if args.time:
                     @partial(jax.jit, static_argnames=("n",))
-                    def bench_n(p, n, _max_nms=max_nms, _exact=exact):
+                    def bench_n(p, n, _max_nms=max_nms, _exact=exact,
+                                _tile=tile):
                         def body(i, acc):
                             d, v = non_max_suppression(
                                 p + i.astype(jnp.float32) * 1e-9,
@@ -241,7 +250,7 @@ def main():
                                 max_nms=_max_nms, multi_label=True,
                                 exact_topk=_exact, method=args.method,
                                 anchor_topc=args.anchor_topc,
-                                tile=args.tile,
+                                tile=_tile,
                                 recall_target=args.recall_target,
                                 class_cap=args.class_cap,
                             )
@@ -253,6 +262,32 @@ def main():
                     t0 = time.perf_counter()
                     jax.device_get(bench_n(pred, iters))
                     row["ms_per_batch"] = round(
+                        (time.perf_counter() - t0) / iters * 1000, 2
+                    )
+                if args.time_phases:
+                    from yolov6_tpu.ops.nms import _select_candidates
+
+                    sel = partial(
+                        _select_candidates, conf_thres=0.03, max_nms=max_nms,
+                        multi_label=True, agnostic=False, class_mask=None,
+                        exact_topk=exact, anchor_topc=args.anchor_topc,
+                        recall_target=args.recall_target,
+                    )
+
+                    @partial(jax.jit, static_argnames=("n",))
+                    def sel_n(p, n):
+                        def body(i, acc):
+                            cb, nb, sc, ci = jax.vmap(sel)(
+                                p + i.astype(jnp.float32) * 1e-9
+                            )
+                            return acc + (jnp.sum(nb) + jnp.sum(sc)) * 1e-9
+                        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+                    iters = 20
+                    jax.device_get(sel_n(pred, iters))
+                    t0 = time.perf_counter()
+                    jax.device_get(sel_n(pred, iters))
+                    row["ms_select"] = round(
                         (time.perf_counter() - t0) / iters * 1000, 2
                     )
                 rows.append(row)
