@@ -36,12 +36,15 @@ def fmt_dict(d, indent=4):
 
 def p5_model(name, depth, width, backbone, neck, csp_e=None, fuse_P2=True, cspsppf=False,
              stage_block=None, iou="giou", dfl=True, nr_b="[1, 6, 12, 18, 6]",
-             nr_n="[12, 12, 12, 12]", dw_cls=1.0, atss_warmup=0, pretrained=None):
+             nr_n="[12, 12, 12, 12]", dw_cls=1.0, atss_warmup=0, pretrained=None,
+             anchors=3):
     csp_b = f"\n        csp_e={csp_e}," if csp_e else ""
     sb = f"\n        stage_block_type=\"{stage_block}\"," if stage_block else ""
     csp_n = csp_b + sb
     csp_b = csp_b + (f"\n        fuse_P2=True," if fuse_P2 else "") + \
         (f"\n        cspsppf=True," if cspsppf else "") + sb
+    anchor_lines = (f"        anchors={anchors},\n"
+                    + (f"        anchors_init={ANCHORS_INIT},\n" if anchors > 1 else ""))
     return f"""model = dict(
     type='{name}',
     pretrained={pretrained!r},
@@ -62,9 +65,7 @@ def p5_model(name, depth, width, backbone, neck, csp_e=None, fuse_P2=True, cspsp
         in_channels=[128, 256, 512],
         num_layers=3,
         begin_indices=24,
-        anchors=3,
-        anchors_init={ANCHORS_INIT},
-        out_indices=[17, 20, 23],
+{anchor_lines}        out_indices=[17, 20, 23],
         strides=[8, 16, 32],
         atss_warmup_epoch={atss_warmup},
         iou_type='{iou}',
@@ -340,6 +341,12 @@ qat = dict(
                  csp_e="float(1)/2", fuse_P2=False, iou="giou", dfl=False)
     emit("experiment/yolov6s_csp_scaled.py", p5_model("YOLOv6s_csp", **s_csp),
          SOLVER_SCRATCH, AUG_SCRATCH_05, header="yolov6s csp-scaled experiment")
+    # reference configs/experiment/yolov6t_csp_scaled.py: shallower CSP stack
+    # (0.60/0.50), anchor-free head (anchors=1), strong-aug recipe
+    t_csp = dict(depth=0.60, width=0.50, backbone="CSPBepBackbone", neck="CSPRepPANNeck",
+                 csp_e="float(1)/2", fuse_P2=False, iou="giou", dfl=False, anchors=1)
+    emit("experiment/yolov6t_csp_scaled.py", p5_model("YOLOv6t_csp", **t_csp),
+         SOLVER_SCRATCH, AUG_SCRATCH_09, header="yolov6t csp-scaled experiment")
     n_eval = p5_model("YOLOv6n", **dict(n, fuse_P2=False, cspsppf=False))
     eval_params_block = """
 
