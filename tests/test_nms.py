@@ -147,6 +147,53 @@ def test_nms_perclass_backend_oracle():
     _check(preds, want, *got)
 
 
+def test_nms_bf16_select():
+    """bf16_select ranks candidates on a bf16 grid but re-scores the
+    selected ones in fp32: every emitted score must be an exact fp32
+    product from the score grid, the keep set must nearly match the fp32
+    path (bf16 only reorders near-ties), and masked classes must never
+    resurface through the fp32 re-score."""
+    preds = _random_preds(b=2, a=400, seed=8)
+    f32 = non_max_suppression(jnp.asarray(preds), 0.3, 0.65, multi_label=True)
+    b16 = non_max_suppression(
+        jnp.asarray(preds), 0.3, 0.65, multi_label=True, bf16_select=True
+    )
+    grid = preds[:, :, 5:] * preds[:, :, 4:5]
+    for i in range(preds.shape[0]):
+        kept = np.asarray(b16[0][i])[np.asarray(b16[1][i])]
+        assert kept.shape[0] > 0
+        for row in kept:
+            assert np.any(grid[i] == row[4]), f"score {row[4]} not an exact fp32 product"
+
+    def sets(dets, valid):
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        return [
+            {tuple(np.round(r[:4], 3)) + (int(r[5]),) for r in dets[i][valid[i]]}
+            for i in range(dets.shape[0])
+        ]
+
+    a, b = sets(*f32), sets(*b16)
+    inter = sum(len(x & y) for x, y in zip(a, b))
+    total = sum(len(x) for x in a)
+    assert inter / total >= 0.9, f"keep-set agreement {inter}/{total}"
+
+    # class filter still binds under bf16 ranking (fp32 re-score is masked)
+    mask = np.zeros(6, np.float32)
+    mask[[1, 4]] = 1.0
+    dets, valid = non_max_suppression(
+        jnp.asarray(preds), 0.3, 0.65, multi_label=True,
+        class_mask=jnp.asarray(mask), bf16_select=True,
+    )
+    kept_cls = np.asarray(dets)[np.asarray(valid)][:, 5]
+    assert np.isin(kept_cls, [1, 4]).all()
+
+    # single-label path compiles + stays sane under bf16 ranking
+    dets, valid = non_max_suppression(
+        jnp.asarray(preds), 0.3, 0.65, multi_label=False, bf16_select=True
+    )
+    assert np.asarray(valid).sum() > 0
+
+
 def test_nms_class_filter():
     preds = _random_preds(seed=3)
     keep_classes = [1, 4]

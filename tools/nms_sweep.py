@@ -168,6 +168,9 @@ def main():
                          "in one process (amortizes scene gen + baseline)")
     ap.add_argument("--approx-only", action="store_true",
                     help="skip the exact-top-k arm of each config")
+    ap.add_argument("--bf16-select", action="store_true",
+                    help="rank candidate selection on a bf16 score grid "
+                         "(fp32 re-score of the selected candidates)")
     ap.add_argument("--recall-target", type=float, default=0.95,
                     help="approx_max_k recall target")
     ap.add_argument("--class-cap", type=int, default=256,
@@ -204,7 +207,7 @@ def main():
               f"min={n_cand.min()} mean={n_cand.mean():.0f} max={n_cand.max()}")
         pred = jnp.asarray(pred_np)
 
-        def run(max_nms, exact, topc=None, tile=None):
+        def run(max_nms, exact, topc=None, tile=None, bf16=None):
             dets, valid = non_max_suppression(
                 pred, conf_thres=0.03, iou_thres=0.65, max_det=300,
                 max_nms=max_nms, multi_label=True, exact_topk=exact,
@@ -213,11 +216,13 @@ def main():
                 tile=args.tile[0] if tile is None else tile,
                 recall_target=args.recall_target,
                 class_cap=args.class_cap,
+                bf16_select=args.bf16_select if bf16 is None else bf16,
             )
             return jax.device_get(dets), jax.device_get(valid)
 
-        # baseline = the reference protocol: all A*nc candidates, exact top-k
-        base_sets = keep_sets(*run(30000, True, topc=0))
+        # baseline = the reference protocol: all A*nc candidates, exact
+        # top-k, fp32 ranking (bf16_select never applies to the baseline)
+        base_sets = keep_sets(*run(30000, True, topc=0, bf16=False))
         print(f"[{scene}] baseline (30000, exact): "
               f"{sum(len(s) for s in base_sets)} kept dets")
 
@@ -236,6 +241,7 @@ def main():
                     "class_cap": args.class_cap,
                     "max_nms": max_nms,
                     "topk": "exact" if exact else "approx",
+                    "bf16_select": args.bf16_select,
                     "det_agreement": round(det_agree, 5),
                     "score_agreement": round(score_agree, 5),
                 }
@@ -253,6 +259,7 @@ def main():
                                 tile=_tile,
                                 recall_target=args.recall_target,
                                 class_cap=args.class_cap,
+                                bf16_select=args.bf16_select,
                             )
                             return acc + jnp.sum(d) * 1e-9
                         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
@@ -272,6 +279,7 @@ def main():
                         multi_label=True, agnostic=False, class_mask=None,
                         exact_topk=exact, anchor_topc=args.anchor_topc,
                         recall_target=args.recall_target,
+                        bf16_select=args.bf16_select,
                     )
 
                     @partial(jax.jit, static_argnames=("n",))

@@ -55,12 +55,14 @@ def _single_image_nms(
     class_mask: Optional[jnp.ndarray],
     exact_topk: bool = False,
     anchor_topc: int = 16,
+    recall_target: float = 0.95,
+    bf16_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pred [A, 5+nc] -> (detections [max_det, 6], valid [max_det]).
     XLA-loop fallback path (non-TPU backends)."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
         pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-        exact_topk, anchor_topc,
+        exact_topk, anchor_topc, recall_target, bf16_select,
     )
     cand_valid = top_scores > conf_thres
 
@@ -275,11 +277,12 @@ def _emit_topk_kept(cand_boxes, scores, cls_idx, kept, max_det):
 def _single_image_nms_tiled(
     pred, conf_thres, iou_thres, max_det, max_nms, multi_label, agnostic,
     class_mask, exact_topk=False, anchor_topc=16, tile=256,
+    recall_target=0.95, bf16_select=False,
 ):
     """Tiled exact-greedy path: same keep-set as _single_image_nms."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
         pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-        exact_topk, anchor_topc,
+        exact_topk, anchor_topc, recall_target, bf16_select,
     )
     kept = _tiled_keep(nms_boxes, top_scores, iou_thres, max_det=max_det,
                        tile=tile)
@@ -288,7 +291,7 @@ def _single_image_nms_tiled(
 
 def _select_candidates(
     pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-    exact_topk=False, anchor_topc=16, recall_target=0.95,
+    exact_topk=False, anchor_topc=16, recall_target=0.95, bf16_select=False,
 ):
     """Single-image candidate selection: (raw_boxes [K,4], nms_boxes [K,4],
     scores [K], cls [K]). Scores are zeroed below conf_thres.
@@ -299,14 +302,22 @@ def _select_candidates(
     (a cheap vectorized row top-k) so the global top-k runs over A*C
     instead of A*nc elements — exact whenever no anchor has more than C
     classes above conf_thres (real detector heads are far below this; the
-    reference keeps all A*nc, utils/nms.py:76-77). 0 disables. Fidelity of
-    all knobs vs the reference's 30000 exact cap is measured in
-    docs/nms_fidelity.md (tools/nms_sweep.py)."""
+    reference keeps all A*nc, utils/nms.py:76-77). 0 disables.
+
+    ``bf16_select`` ranks candidates on a bfloat16 score grid — the [A, nc]
+    grid is the selection phase's dominant HBM traffic (86 MB/b32 fp32 at
+    640), so halving it trades ~3 significand bits of ranking precision for
+    bandwidth. Selected candidates are re-scored in fp32 from the raw head
+    outputs, so EMITTED scores are bit-identical to the fp32 path — only
+    which near-tied candidates make the max_nms cut (and their greedy
+    order) can differ. Fidelity of all knobs vs the reference's 30000
+    exact cap is measured in docs/nms_fidelity.md (tools/nms_sweep.py)."""
     nc = pred.shape[-1] - 5
     boxes = xywh2xyxy(pred[:, :4])
-    scores = pred[:, 5:] * pred[:, 4:5]
+    sel_dtype = jnp.bfloat16 if bf16_select else jnp.float32
+    scores = pred[:, 5:].astype(sel_dtype) * pred[:, 4:5].astype(sel_dtype)
     if class_mask is not None:
-        scores = scores * class_mask[None, :]
+        scores = scores * class_mask[None, :].astype(sel_dtype)
 
     def _topk(vals, k):
         if k >= vals.shape[0]:
@@ -337,10 +348,20 @@ def _select_candidates(
         cls_idx = cls[box_idx]
 
     cand_boxes = boxes[box_idx]
+    if bf16_select:
+        # re-score the K selected candidates in fp32 from the raw head
+        # outputs — emitted scores bit-match the fp32 path; bf16 only
+        # influenced WHICH candidates were ranked into the top max_nms
+        raw = pred[box_idx]
+        cls_int = cls_idx.astype(jnp.int32)
+        cls_p = jnp.take_along_axis(raw[:, 5:], cls_int[:, None], axis=1)[:, 0]
+        top_scores = raw[:, 4] * cls_p
+        if class_mask is not None:
+            top_scores = top_scores * class_mask[cls_int]
     top_scores = jnp.where(top_scores > conf_thres, top_scores, 0.0)
     offset = 0.0 if agnostic else MAX_WH
     nms_boxes = cand_boxes + (cls_idx * offset)[:, None]
-    return cand_boxes, nms_boxes, top_scores, cls_idx
+    return cand_boxes, nms_boxes, top_scores.astype(jnp.float32), cls_idx
 
 
 @partial(
@@ -348,7 +369,7 @@ def _select_candidates(
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
         "agnostic", "use_pallas", "exact_topk", "method", "anchor_topc",
-        "tile", "recall_target", "class_cap",
+        "tile", "recall_target", "class_cap", "bf16_select",
     ),
 )
 def non_max_suppression(
@@ -367,6 +388,7 @@ def non_max_suppression(
     tile: int = 256,
     recall_target: float = 0.95,
     class_cap: int = 256,
+    bf16_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched NMS over [b, A, 5+nc] predictions.
 
@@ -388,6 +410,11 @@ def non_max_suppression(
       - 'loop'   — XLA fori_loop fallback, max_det sequential steps.
     ``use_pallas`` is the legacy knob: True -> 'pallas', False -> non-pallas
     default ('tiled').
+
+    ``bf16_select`` ranks candidate selection on a bfloat16 score grid
+    (halves the [A, nc] grid's HBM traffic) and re-scores the selected
+    candidates in fp32 — emitted scores are exact; only near-tied ranking
+    at the max_nms boundary can differ (measured in docs/nms_fidelity.md).
     """
     nc = prediction.shape[-1] - 5
     if method is None:
@@ -408,6 +435,7 @@ def non_max_suppression(
             conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
             agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
             anchor_topc=anchor_topc, recall_target=recall_target,
+            bf16_select=bf16_select,
         )
         cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
             prediction.astype(jnp.float32)
@@ -440,7 +468,8 @@ def non_max_suppression(
             _select_candidates,
             conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
             agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
-            anchor_topc=anchor_topc,
+            anchor_topc=anchor_topc, recall_target=recall_target,
+            bf16_select=bf16_select,
         )
         cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
             prediction.astype(jnp.float32)
@@ -469,6 +498,8 @@ def non_max_suppression(
         class_mask=class_mask,
         exact_topk=exact_topk,
         anchor_topc=anchor_topc,
+        recall_target=recall_target,
+        bf16_select=bf16_select,
     )
     if method == "tiled":
         fn = partial(fn, tile=tile)
