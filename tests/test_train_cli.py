@@ -107,14 +107,36 @@ def test_train_resume(tiny_dataset, tmp_path):
     ckpt_path = osp.join(args.save_dir, "weights", "1_ckpt.msgpack")
     assert osp.exists(ckpt_path)
 
+    # resume restores the run's args.yaml wholesale (reference
+    # tools/train.py:69-83), so extending a run is done the reference-user
+    # way: edit args.yaml, then bare --resume. An --epochs flag on the
+    # resume command line is intentionally overridden by the stored args.
+    from yolov6_tpu.utils.events import load_yaml, save_yaml
+
+    args_yaml = osp.join(args.save_dir, "args.yaml")
+    saved = load_yaml(args_yaml)
+    saved["epochs"] = 3
+    save_yaml(saved, args_yaml)
+
     args2 = train_cli.get_args_parser().parse_args(
-        base + ["--epochs", "3", "--resume", ckpt_path]
+        base + ["--epochs", "7", "--resume", ckpt_path]
     )
     train_cli.main(args2)
+    assert args2.epochs == 3  # args.yaml wins over the CLI flag
     from yolov6_tpu.utils.checkpoint import load_native_checkpoint
 
     ckpt = load_native_checkpoint(osp.join(args.save_dir, "weights", "last_ckpt.msgpack"))
     assert int(ckpt["epoch"]) == 2  # resumed and ran the third epoch
+
+    # resuming a finished run is a no-op that must not crash (epoch loop
+    # runs zero times) and must leave the stripped checkpoint in place:
+    # 1_ckpt holds epoch 1, so epochs=2 puts start_epoch == max_epoch
+    saved["epochs"] = 2
+    save_yaml(saved, args_yaml)
+    args3 = train_cli.get_args_parser().parse_args(base + ["--resume", ckpt_path])
+    train_cli.main(args3)
+    ckpt = load_native_checkpoint(osp.join(args.save_dir, "weights", "last_ckpt.msgpack"))
+    assert int(ckpt["epoch"]) == 2
 
 
 def test_train_orbax_backend_and_resume(tiny_dataset, tmp_path):
@@ -151,9 +173,16 @@ def test_train_orbax_backend_and_resume(tiny_dataset, tmp_path):
     stripped = load_native_checkpoint(osp.join(args.save_dir, "weights", "best_ckpt.msgpack"))
     assert "params" in stripped["model"]
 
-    args2 = train_cli.get_args_parser().parse_args(
-        base + ["--epochs", "3", "--resume", orbax_root]
-    )
+    # extend the run the reference way: edit args.yaml, then --resume
+    # (restored args override resume-command flags; see test_train_resume)
+    from yolov6_tpu.utils.events import load_yaml, save_yaml
+
+    args_yaml = osp.join(args.save_dir, "args.yaml")
+    saved = load_yaml(args_yaml)
+    saved["epochs"] = 3
+    save_yaml(saved, args_yaml)
+
+    args2 = train_cli.get_args_parser().parse_args(base + ["--resume", orbax_root])
     train_cli.main(args2)
     ck = OrbaxCheckpointer(orbax_root, async_save=False)
     assert ck.latest_step() == 2  # resumed from epoch 1, ran the third epoch

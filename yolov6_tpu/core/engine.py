@@ -343,6 +343,9 @@ class Trainer:
     def train(self):
         try:
             self.before_train_loop()
+            # last completed epoch; stays valid when a resume of an already-
+            # finished run makes the loop body run zero times
+            self.epoch = self.start_epoch - 1
             for self.epoch in range(self.start_epoch, self.max_epoch):
                 self.before_epoch()
                 self.train_one_epoch(self.epoch)
