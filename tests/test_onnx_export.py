@@ -1,0 +1,128 @@
+"""ONNX export: serialization round-trip + execution parity vs the JAX graph.
+
+The exporter (yolov6_tpu/export/onnx_export.py) converts the jitted deploy
+fwd+decode jaxpr to an opset-13 ONNX graph with a hand-rolled protobuf
+serializer (no ``onnx`` dependency); parity is established by executing the
+serialized model with the in-repo pure-numpy ONNX interpreter
+(export/onnx_numpy.py), which implements ONNX operator semantics
+independently of the converter's mapping.
+
+Reference contract: deploy/ONNX/export_onnx.py (model + decode, no NMS).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yolov6_tpu.export.onnx_export import export_onnx
+from yolov6_tpu.export.onnx_numpy import OnnxRunner
+from yolov6_tpu.export.onnx_proto import parse_model
+from yolov6_tpu.models.yolo import build_model
+from yolov6_tpu.utils.config import Config
+
+
+def _deploy_fwd(config, nc=16, img=96):
+    cfg = Config.fromfile(config)
+    model = build_model(cfg, num_classes=nc, deploy=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False
+    )
+
+    def fwd(images):
+        head_out, _ = model.apply(variables, images, train=False)
+        return model.apply(variables, head_out, method=model.decode)
+
+    return fwd
+
+
+def _parity(config, nc=16, img=96, batch=2, atol=5e-4):
+    fwd = _deploy_fwd(config, nc=nc, img=img)
+    x = np.random.default_rng(0).uniform(0, 1, (batch, img, img, 3)).astype(np.float32)
+    data = export_onnx(fwd, (jnp.asarray(x),),
+                       input_names=["images"], output_names=["outputs"])
+    got = OnnxRunner(data)(x)[0]
+    want = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+    return data
+
+
+def test_onnx_parity_yolov6n():
+    """RepVGG deploy blocks + anchor-free decode (EfficientRep/RepPAN)."""
+    data = _parity("configs/yolov6n.py")
+    model = parse_model(data)
+    assert model.opset == 13
+    assert [n for n, _, _ in model.inputs] == ["images"]
+    assert [n for n, _, _ in model.outputs] == ["outputs"]
+    # the boundary-transpose peephole must leave no inverse pairs: a
+    # Transpose whose input is another Transpose composing to identity
+    produced = {}
+    for node in model.nodes:
+        for o in node.outputs:
+            produced[o] = node
+    for node in model.nodes:
+        if node.op_type != "Transpose":
+            continue
+        prev = produced.get(node.inputs[0])
+        if prev is not None and prev.op_type == "Transpose":
+            comp = [prev.attrs["perm"][p] for p in node.attrs["perm"]]
+            assert comp != sorted(comp), "uncancelled inverse Transpose pair"
+
+
+def test_onnx_parity_yolov6m_dfl():
+    """CSP backbone + DFL decode (reg_max=16: softmax projection path)."""
+    _parity("configs/yolov6m.py", img=64, batch=1)
+
+
+def test_onnx_parity_lite():
+    """Lite family: depthwise (grouped) convs + lite head."""
+    _parity("configs/yolov6_lite/yolov6_lite_s.py", img=96, batch=1)
+
+
+def test_onnx_preprocess_graph():
+    """uint8 input with in-graph BGR->RGB + /255 (Cast + Slice + Div)."""
+    fwd = _deploy_fwd("configs/yolov6n.py", nc=8, img=64)
+
+    def serve(images):
+        x = images.astype(jnp.float32)[..., ::-1] / 255.0
+        return fwd(x)
+
+    x = np.random.default_rng(1).integers(0, 256, (1, 64, 64, 3), np.uint8)
+    data = export_onnx(serve, (jnp.asarray(x),))
+    got = OnnxRunner(data)(x)[0]
+    want = np.asarray(jax.jit(serve)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_onnx_initializer_roundtrip():
+    """Serialized initializers parse back bit-exact (raw_data path)."""
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(3, 3, 3, 8)).astype(np.float32)  # HWIO
+
+    def fn(x):
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    x = rng.uniform(size=(1, 8, 8, 3)).astype(np.float32)
+    data = export_onnx(fn, (jnp.asarray(x),))
+    model = parse_model(data)
+    convs = [n for n in model.nodes if n.op_type == "Conv"]
+    assert len(convs) == 1
+    w_onnx = model.initializers[convs[0].inputs[1]]
+    # exporter pre-transposes HWIO -> OIHW
+    np.testing.assert_array_equal(w_onnx, w.transpose(3, 2, 0, 1))
+    got = OnnxRunner(data)(x)[0]
+    np.testing.assert_allclose(got, np.asarray(jax.jit(fn)(jnp.asarray(x))),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_onnx_unsupported_primitive_is_loud():
+    def fn(x):
+        return jnp.cumsum(x)  # no cumsum handler
+
+    with pytest.raises(NotImplementedError, match="cumsum"):
+        export_onnx(fn, (jnp.zeros((4,), jnp.float32),))

@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
-"""Export CLI: serialize an end-to-end serving graph (preproc + model +
-decode + NMS) to StableHLO (reference: deploy/ONNX/export_onnx.py, which
-exports ONNX with in-graph NMS ops)."""
+"""Export CLI: serialize a serving graph to StableHLO (default; preproc +
+model + decode + optional NMS) or ONNX (--format onnx; model + decode, the
+reference's standard export contract — reference: deploy/ONNX/export_onnx.py).
+The ONNX path converts the same JAX graph that serves on TPU
+(yolov6_tpu/export/onnx_export.py) with zero vendor dependencies."""
 
 from __future__ import annotations
 
@@ -44,14 +46,37 @@ def main():
                         help="export a GSPMD artifact with the batch sharded "
                              "over an N-device data mesh (one artifact "
                              "serves a multi-chip batch)")
+    parser.add_argument("--format", choices=("stablehlo", "onnx"), default="stablehlo",
+                        help="onnx = model+decode opset-13 graph (no NMS; "
+                             "the reference's default export contract)")
     parser.add_argument("--check", action="store_true", help="round-trip sanity check")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (the axon TPU plugin "
+                             "ignores JAX_PLATFORMS=cpu)")
     parser.add_argument("--runner-dir", type=str, default=None,
                         help="also write the raw-StableHLO artifact directory "
                              "for the native C++ PJRT runner")
     args = parser.parse_args()
 
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     if len(args.img_size) == 1:
         args.img_size = args.img_size * 2
+
+    if args.format == "onnx":
+        if args.end2end:
+            raise SystemExit(
+                "--format onnx exports model+decode only; in-graph NMS is the "
+                "StableHLO path (the reference's ONNX end2end likewise needs "
+                "runtime-specific NMS plugins)"
+            )
+        if args.half:
+            LOGGER.warning("--half ignored for ONNX: graphs are exported fp32 "
+                           "(consumers apply their own fp16/int8 modes)")
+            args.half = False
 
     cfg = Config.fromfile(args.config)
     model = build_model(
@@ -79,6 +104,37 @@ def main():
             return decode_eval(
                 head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
             )
+
+    if args.format == "onnx":
+        import numpy as np
+
+        from yolov6_tpu.export.onnx_export import export_onnx
+
+        output = args.output or args.weights.rsplit(".", 1)[0] + ".onnx"
+        in_dtype = jnp.uint8 if args.with_preprocess else jnp.float32
+        example = jnp.zeros((args.batch_size, *args.img_size, 3), in_dtype)
+        t0 = time.time()
+        export_onnx(serve, (example,), output,
+                    input_names=["images"], output_names=["outputs"],
+                    graph_name=osp.basename(args.config).rsplit(".", 1)[0],
+                    doc=f"yolov6-tpu export of {args.weights}")
+        LOGGER.info(f"Exported ONNX to {output} in {time.time() - t0:.1f}s")
+        if args.check:
+            from yolov6_tpu.export.onnx_numpy import OnnxRunner
+
+            rng = np.random.default_rng(0)
+            x = rng.uniform(0, 255 if args.with_preprocess else 1,
+                            example.shape).astype(example.dtype)
+            with open(output, "rb") as f:
+                runner = OnnxRunner(f.read())
+            got = runner(x)[0]
+            import jax
+
+            want = np.asarray(jax.jit(serve)(jnp.asarray(x)))
+            np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+            LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
+                        f"output {got.shape}")
+        return
 
     output = args.output or args.weights.rsplit(".", 1)[0] + ".stablehlo"
     t0 = time.time()

@@ -1,0 +1,592 @@
+"""jaxpr -> ONNX graph converter.
+
+Exports any jit-traceable deploy function (fwd+decode of every model family,
+static shapes) to an ONNX file with zero vendor dependencies — the protobuf
+serialization is hand-rolled in onnx_proto.py. This fills the reference's
+primary deploy interchange (reference: deploy/ONNX/export_onnx.py, which
+calls torch.onnx.export); instead of re-tracing a torch twin of the model we
+convert the *same* JAX graph that serves on TPU, so ONNX output is
+definitionally in sync with the TPU graph.
+
+Design notes:
+- The converter walks the closed jaxpr, inlining pjit/custom_jvp/remat call
+  primitives, and maps each lax primitive to ONNX ops (opset 13).
+- JAX convolutions are NHWC; ONNX Conv/MaxPool are NCHW. Each conv/pool is
+  wrapped in boundary Transposes; a peephole cancels inverse-Transpose pairs
+  and dead nodes are pruned, so chains of convs carry no redundant layout
+  ops (consumers like TensorRT fold any that remain).
+- Constants (folded weights) become initializers; weight tensors feeding a
+  conv are pre-transposed host-side to OIHW.
+- Execution parity vs the JAX function is tested with the in-repo numpy
+  ONNX interpreter (export/onnx_numpy.py, tests/test_onnx_export.py).
+
+Supported primitive set covers the deploy graphs of all families (rep/CSP/
+MBLA/P6/lite + DFL decode); unknown primitives raise with the primitive
+name so gaps are loud.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from yolov6_tpu.export import onnx_proto as op
+
+
+class _Builder:
+    def __init__(self):
+        self.nodes: List[op.Node] = []
+        self.initializers: Dict[str, op.Tensor] = {}
+        self._n = 0
+        self._const_cache: Dict[tuple, str] = {}
+        self.produced_by: Dict[str, op.Node] = {}
+
+    def name(self, hint: str = "t") -> str:
+        self._n += 1
+        return f"{hint}_{self._n}"
+
+    def emit(self, op_type: str, inputs: Sequence[str], n_out: int = 1,
+             hint: Optional[str] = None, **attrs) -> List[str]:
+        outs = [self.name(hint or op_type.lower()) for _ in range(n_out)]
+        node = op.Node(op_type, list(inputs), outs, name=outs[0], attrs=attrs)
+        self.nodes.append(node)
+        for o in outs:
+            self.produced_by[o] = node
+        return outs
+
+    def const(self, arr: np.ndarray, hint: str = "c") -> str:
+        arr = np.asarray(arr)
+        if arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+        if arr.dtype == np.bool_:
+            pass
+        key = (str(arr.dtype), arr.shape, arr.tobytes())
+        if key in self._const_cache:
+            return self._const_cache[key]
+        name = self.name(hint)
+        self.initializers[name] = op.Tensor(name, arr)
+        self._const_cache[key] = name
+        return name
+
+    def transpose(self, x: str, perm: Sequence[int]) -> str:
+        """Emit Transpose, cancelling an immediately-preceding inverse."""
+        perm = list(int(p) for p in perm)
+        if perm == sorted(perm):
+            return x
+        prev = self.produced_by.get(x)
+        if prev is not None and prev.op_type == "Transpose":
+            prev_perm = list(prev.attrs["perm"])
+            composed = [prev_perm[p] for p in perm]
+            if composed == sorted(composed):
+                return prev.inputs[0]
+            return self.emit("Transpose", [prev.inputs[0]], perm=composed)[0]
+        return self.emit("Transpose", [x], perm=perm)[0]
+
+    def reshape(self, x: str, shape: Sequence[int]) -> str:
+        s = self.const(np.asarray(shape, np.int64), "shape")
+        return self.emit("Reshape", [x, s])[0]
+
+
+def _np_dtype(aval) -> np.dtype:
+    name = np.dtype(aval.dtype).name
+    if name in ("bfloat16", "float64"):  # ONNX deploy graphs ship fp32
+        return np.dtype(np.float32)
+    return np.dtype(aval.dtype)
+
+
+def _to_np(x) -> np.ndarray:
+    a = np.asarray(x)
+    if a.dtype.name == "bfloat16":
+        a = a.astype(np.float32)
+    if a.dtype == np.float64:
+        a = a.astype(np.float32)
+    return a
+
+
+class _Converter:
+    def __init__(self, builder: _Builder):
+        self.b = builder
+
+    # --- environment handling -------------------------------------------
+    def run(self, jaxpr, consts, in_names: List[str]) -> List[str]:
+        env: Dict[object, str] = {}
+
+        def read(var) -> str:
+            if hasattr(var, "val"):  # Literal
+                return self.b.const(_to_np(var.val), "lit")
+            return env[var]
+
+        def write(var, name: str):
+            if type(var).__name__ == "DropVar":
+                return
+            env[var] = name
+
+        for var, const in zip(jaxpr.constvars, consts):
+            env[var] = self.b.const(_to_np(const), "w")
+        for var, name in zip(jaxpr.invars, in_names):
+            env[var] = name
+
+        for eqn in jaxpr.eqns:
+            prim = eqn.primitive.name
+            # call-like primitives: inline
+            sub = None
+            if prim in ("pjit", "jit", "closed_call", "core_call",
+                        "remat", "remat2", "checkpoint", "custom_jvp_call",
+                        "custom_vjp_call", "custom_jvp_call_jaxpr",
+                        "custom_vjp_call_jaxpr"):
+                sub = eqn.params.get("jaxpr") or eqn.params.get("call_jaxpr")
+            if sub is not None:
+                if hasattr(sub, "jaxpr"):  # ClosedJaxpr
+                    sub_jaxpr, sub_consts = sub.jaxpr, sub.consts
+                else:
+                    sub_jaxpr, sub_consts = sub, []
+                # custom_* pass extra leading args (num_consts) — the inner
+                # jaxpr's invars count is authoritative; take the LAST n args
+                args = [read(v) for v in eqn.invars]
+                n_in = len(sub_jaxpr.invars)
+                outs = self.run(sub_jaxpr, sub_consts, args[len(args) - n_in:])
+                for var, name in zip(eqn.outvars, outs):
+                    write(var, name)
+                continue
+            handler = getattr(self, f"_op_{prim}", None)
+            if handler is None:
+                raise NotImplementedError(
+                    f"ONNX export: unsupported primitive '{prim}' "
+                    f"(shapes {[getattr(v.aval, 'shape', None) for v in eqn.invars]})"
+                )
+            outs = handler(eqn, [read(v) for v in eqn.invars])
+            if isinstance(outs, str):
+                outs = [outs]
+            for var, name in zip(eqn.outvars, outs):
+                write(var, name)
+        return [read(v) for v in jaxpr.outvars]
+
+    # --- elementwise ------------------------------------------------------
+    def _binop(self, onnx_op, args):
+        return self.b.emit(onnx_op, args)[0]
+
+    def _op_add(self, eqn, args):
+        return self._binop("Add", args)
+
+    def _op_sub(self, eqn, args):
+        return self._binop("Sub", args)
+
+    def _op_mul(self, eqn, args):
+        return self._binop("Mul", args)
+
+    def _op_div(self, eqn, args):
+        return self._binop("Div", args)
+
+    def _op_max(self, eqn, args):
+        # max(x, 0) is Relu — friendlier to consumers than variadic Max
+        for i, var in enumerate(eqn.invars):
+            if hasattr(var, "val") and np.ndim(var.val) == 0 and var.val == 0:
+                return self.b.emit("Relu", [args[1 - i]])[0]
+        return self._binop("Max", args)
+
+    def _op_min(self, eqn, args):
+        return self._binop("Min", args)
+
+    def _op_pow(self, eqn, args):
+        return self._binop("Pow", args)
+
+    def _op_rem(self, eqn, args):
+        return self._binop("Mod", args)
+
+    def _op_logistic(self, eqn, args):
+        return self.b.emit("Sigmoid", args)[0]
+
+    def _op_exp(self, eqn, args):
+        return self.b.emit("Exp", args)[0]
+
+    def _op_log(self, eqn, args):
+        return self.b.emit("Log", args)[0]
+
+    def _op_tanh(self, eqn, args):
+        return self.b.emit("Tanh", args)[0]
+
+    def _op_sqrt(self, eqn, args):
+        return self.b.emit("Sqrt", args)[0]
+
+    def _op_rsqrt(self, eqn, args):
+        s = self.b.emit("Sqrt", args)[0]
+        return self.b.emit("Reciprocal", [s])[0]
+
+    def _op_neg(self, eqn, args):
+        return self.b.emit("Neg", args)[0]
+
+    def _op_abs(self, eqn, args):
+        return self.b.emit("Abs", args)[0]
+
+    def _op_sign(self, eqn, args):
+        return self.b.emit("Sign", args)[0]
+
+    def _op_floor(self, eqn, args):
+        return self.b.emit("Floor", args)[0]
+
+    def _op_ceil(self, eqn, args):
+        return self.b.emit("Ceil", args)[0]
+
+    def _op_round(self, eqn, args):
+        return self.b.emit("Round", args)[0]
+
+    def _op_erf(self, eqn, args):
+        return self.b.emit("Erf", args)[0]
+
+    def _op_integer_pow(self, eqn, args):
+        y = eqn.params["y"]
+        if y == 2:
+            return self.b.emit("Mul", [args[0], args[0]])[0]
+        e = self.b.const(np.asarray(float(y), np.float32))
+        return self.b.emit("Pow", [args[0], e])[0]
+
+    def _op_square(self, eqn, args):
+        return self.b.emit("Mul", [args[0], args[0]])[0]
+
+    def _op_clamp(self, eqn, args):
+        lo, x, hi = args  # lax.clamp(min, operand, max)
+        return self.b.emit("Clip", [x, lo, hi])[0]
+
+    def _op_stop_gradient(self, eqn, args):
+        return args[0]
+
+    def _op_copy(self, eqn, args):
+        return args[0]
+
+    def _op_device_put(self, eqn, args):
+        return args[0]
+
+    def _op_convert_element_type(self, eqn, args):
+        dst = _np_dtype(eqn.outvars[0].aval)
+        src = _np_dtype(eqn.invars[0].aval)
+        if dst == src:
+            return args[0]
+        return self.b.emit("Cast", args, to=int(op.NP_TO_ONNX[dst]))[0]
+
+    # --- comparisons / logic ---------------------------------------------
+    def _op_eq(self, eqn, args):
+        return self.b.emit("Equal", args)[0]
+
+    def _op_ne(self, eqn, args):
+        e = self.b.emit("Equal", args)[0]
+        return self.b.emit("Not", [e])[0]
+
+    def _op_lt(self, eqn, args):
+        return self.b.emit("Less", args)[0]
+
+    def _op_le(self, eqn, args):
+        return self.b.emit("LessOrEqual", args)[0]
+
+    def _op_gt(self, eqn, args):
+        return self.b.emit("Greater", args)[0]
+
+    def _op_ge(self, eqn, args):
+        return self.b.emit("GreaterOrEqual", args)[0]
+
+    def _op_and(self, eqn, args):
+        return self.b.emit("And", args)[0]
+
+    def _op_or(self, eqn, args):
+        return self.b.emit("Or", args)[0]
+
+    def _op_not(self, eqn, args):
+        return self.b.emit("Not", args)[0]
+
+    def _op_select_n(self, eqn, args):
+        if len(args) != 3:
+            raise NotImplementedError("select_n with >2 cases")
+        pred, case0, case1 = args  # case1 taken where pred is True
+        return self.b.emit("Where", [pred, case1, case0])[0]
+
+    # --- shape ops ---------------------------------------------------------
+    def _op_reshape(self, eqn, args):
+        if eqn.params.get("dimensions") is not None:
+            x = self.b.transpose(args[0], eqn.params["dimensions"])
+        else:
+            x = args[0]
+        return self.b.reshape(x, eqn.params["new_sizes"])
+
+    def _op_squeeze(self, eqn, args):
+        return self.b.reshape(args[0], eqn.outvars[0].aval.shape)
+
+    def _op_expand_dims(self, eqn, args):
+        return self.b.reshape(args[0], eqn.outvars[0].aval.shape)
+
+    def _op_transpose(self, eqn, args):
+        return self.b.transpose(args[0], eqn.params["permutation"])
+
+    def _op_broadcast_in_dim(self, eqn, args):
+        shape = [int(s) for s in eqn.params["shape"]]
+        bdims = eqn.params["broadcast_dimensions"]
+        in_shape = eqn.invars[0].aval.shape
+        mid = [1] * len(shape)
+        for src_axis, dst_axis in enumerate(bdims):
+            mid[dst_axis] = int(in_shape[src_axis])
+        x = args[0]
+        if list(in_shape) != mid:
+            x = self.b.reshape(x, mid)
+        if mid != shape:
+            s = self.b.const(np.asarray(shape, np.int64), "shape")
+            x = self.b.emit("Expand", [x, s])[0]
+        return x
+
+    def _op_concatenate(self, eqn, args):
+        return self.b.emit("Concat", args, axis=int(eqn.params["dimension"]))[0]
+
+    def _op_split(self, eqn, args):
+        sizes = [int(s) for s in eqn.params["sizes"]]
+        axis = int(eqn.params["axis"])
+        s = self.b.const(np.asarray(sizes, np.int64), "split")
+        return self.b.emit("Split", [args[0], s], n_out=len(sizes), axis=axis)
+
+    def _op_slice(self, eqn, args):
+        starts = [int(s) for s in eqn.params["start_indices"]]
+        ends = [int(s) for s in eqn.params["limit_indices"]]
+        strides = eqn.params.get("strides")
+        steps = [1] * len(starts) if strides is None else [int(s) for s in strides]
+        axes = list(range(len(starts)))
+        return self.b.emit(
+            "Slice",
+            [
+                args[0],
+                self.b.const(np.asarray(starts, np.int64)),
+                self.b.const(np.asarray(ends, np.int64)),
+                self.b.const(np.asarray(axes, np.int64)),
+                self.b.const(np.asarray(steps, np.int64)),
+            ],
+        )[0]
+
+    def _op_rev(self, eqn, args):
+        # reverse along dims = Slice with negative steps
+        nd = len(eqn.invars[0].aval.shape)
+        dims = [int(d) for d in eqn.params["dimensions"]]
+        starts = [-1] * len(dims)
+        ends = [np.iinfo(np.int64).min] * len(dims)
+        steps = [-1] * len(dims)
+        return self.b.emit(
+            "Slice",
+            [
+                args[0],
+                self.b.const(np.asarray(starts, np.int64)),
+                self.b.const(np.asarray(ends, np.int64)),
+                self.b.const(np.asarray(dims, np.int64)),
+                self.b.const(np.asarray(steps, np.int64)),
+            ],
+        )[0]
+
+    def _op_pad(self, eqn, args):
+        cfg = eqn.params["padding_config"]
+        if any(i != 0 for _, _, i in cfg):
+            raise NotImplementedError("interior padding")
+        x = args[0]
+        if any(lo < 0 or hi < 0 for lo, hi, _ in cfg):
+            # negative padding = crop: express as a Slice first
+            shape = eqn.invars[0].aval.shape
+            starts = [max(0, -lo) for lo, _, _ in cfg]
+            ends = [int(d) - max(0, -hi) for d, (_, hi, _) in zip(shape, cfg)]
+            x = self.b.emit(
+                "Slice",
+                [
+                    x,
+                    self.b.const(np.asarray(starts, np.int64)),
+                    self.b.const(np.asarray(ends, np.int64)),
+                ],
+            )[0]
+            cfg = [(max(0, lo), max(0, hi), 0) for lo, hi, _ in cfg]
+        if all(lo == 0 and hi == 0 for lo, hi, _ in cfg):
+            return x
+        pads = [lo for lo, _, _ in cfg] + [hi for _, hi, _ in cfg]
+        return self.b.emit(
+            "Pad", [x, self.b.const(np.asarray(pads, np.int64)), args[1]]
+        )[0]
+
+    def _op_iota(self, eqn, args):
+        shape = tuple(int(s) for s in eqn.params["shape"])
+        dim = int(eqn.params["dimension"])
+        dt = _np_dtype(eqn.outvars[0].aval)
+        vec = np.arange(shape[dim], dtype=dt)
+        arr = np.broadcast_to(
+            vec.reshape([-1 if i == dim else 1 for i in range(len(shape))]), shape
+        ).copy()
+        return self.b.const(arr, "iota")
+
+    # --- reductions ---------------------------------------------------------
+    def _reduce(self, onnx_op, eqn, args):
+        axes = [int(a) for a in eqn.params["axes"]]
+        if onnx_op == "ReduceSum":  # axes moved to an input at opset 13
+            a = self.b.const(np.asarray(axes, np.int64), "axes")
+            return self.b.emit(onnx_op, [args[0], a], keepdims=0)[0]
+        return self.b.emit(onnx_op, args, axes=axes, keepdims=0)[0]
+
+    def _op_reduce_max(self, eqn, args):
+        return self._reduce("ReduceMax", eqn, args)
+
+    def _op_reduce_min(self, eqn, args):
+        return self._reduce("ReduceMin", eqn, args)
+
+    def _op_reduce_sum(self, eqn, args):
+        return self._reduce("ReduceSum", eqn, args)
+
+    def _op_argmax(self, eqn, args):
+        axes = eqn.params["axes"]
+        if len(axes) != 1:
+            raise NotImplementedError("argmax over multiple axes")
+        out = self.b.emit("ArgMax", args, axis=int(axes[0]), keepdims=0)[0]
+        dst = _np_dtype(eqn.outvars[0].aval)
+        if dst != np.dtype(np.int64):
+            out = self.b.emit("Cast", [out], to=int(op.NP_TO_ONNX[dst]))[0]
+        return out
+
+    # --- matmul / conv / pool ------------------------------------------------
+    def _op_dot_general(self, eqn, args):
+        (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+        if lb or rb:
+            raise NotImplementedError("batched dot_general")
+        if len(lc) != 1 or len(rc) != 1:
+            raise NotImplementedError("multi-dim contraction")
+        lhs_aval, rhs_aval = eqn.invars[0].aval, eqn.invars[1].aval
+        lnd, rnd = len(lhs_aval.shape), len(rhs_aval.shape)
+        lperm = [i for i in range(lnd) if i != lc[0]] + [lc[0]]
+        rperm = [rc[0]] + [i for i in range(rnd) if i != rc[0]]
+        lhs = self.b.transpose(args[0], lperm)
+        rhs = self.b.transpose(args[1], rperm)
+        if rnd > 2:
+            k = int(rhs_aval.shape[rc[0]])
+            rhs = self.b.reshape(rhs, (k, -1))
+        out = self.b.emit("MatMul", [lhs, rhs])[0]
+        out_shape = eqn.outvars[0].aval.shape
+        if rnd > 2 or len(out_shape) < 2:
+            out = self.b.reshape(out, out_shape)
+        return out
+
+    def _op_conv_general_dilated(self, eqn, args):
+        p = eqn.params
+        dn = p["dimension_numbers"]
+        lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
+        if any(d != 1 for d in p["lhs_dilation"]):
+            raise NotImplementedError("lhs-dilated (transposed) convolution")
+        # transpose input to NCHW order given by lhs_spec
+        x = self.b.transpose(args[0], lhs_spec)
+        # weights to OIHW: rhs_spec = (out_dim, in_dim, *spatial)
+        w_name = args[1]
+        if w_name in self.b.initializers and list(rhs_spec) != list(
+            range(len(rhs_spec))
+        ):
+            w = self.b.initializers[w_name].array
+            w_name = self.b.const(np.ascontiguousarray(np.transpose(w, rhs_spec)), "w")
+        elif list(rhs_spec) != list(range(len(rhs_spec))):
+            w_name = self.b.transpose(w_name, rhs_spec)
+        pads = [int(lo) for lo, _ in p["padding"]] + [int(hi) for _, hi in p["padding"]]
+        out = self.b.emit(
+            "Conv",
+            [x, w_name],
+            strides=[int(s) for s in p["window_strides"]],
+            pads=pads,
+            dilations=[int(d) for d in p["rhs_dilation"]],
+            group=int(p["feature_group_count"]),
+        )[0]
+        # out_spec maps NC<spatial> -> actual layout: invert it
+        inv = list(np.argsort(out_spec))
+        return self.b.transpose(out, inv)
+
+    def _op_reduce_window_max(self, eqn, args):
+        p = eqn.params
+        wd = [int(d) for d in p["window_dimensions"]]
+        ws = [int(s) for s in p["window_strides"]]
+        pad = [(int(lo), int(hi)) for lo, hi in p["padding"]]
+        if any(d != 1 for d in p.get("base_dilation", [1])) or any(
+            d != 1 for d in p.get("window_dilation", [1])
+        ):
+            raise NotImplementedError("dilated pooling")
+        # identify spatial dims (window > 1 or stride > 1); require N/C windows 1
+        spatial = [i for i in range(len(wd)) if wd[i] != 1 or ws[i] != 1 or pad[i] != (0, 0)]
+        if not spatial:
+            spatial = [1, 2]  # degenerate 1x1 pool
+        passive = [i for i in range(len(wd)) if i not in spatial]
+        if len(passive) != 2:
+            raise NotImplementedError(f"unsupported pooling layout {wd}")
+        perm = passive + spatial  # [N, C, *spatial]
+        x = self.b.transpose(args[0], perm)
+        out = self.b.emit(
+            "MaxPool",
+            [x],
+            kernel_shape=[wd[i] for i in spatial],
+            strides=[ws[i] for i in spatial],
+            pads=[pad[i][0] for i in spatial] + [pad[i][1] for i in spatial],
+        )[0]
+        return self.b.transpose(out, list(np.argsort(perm)))
+
+
+def _prune_dead(builder: _Builder, out_names: List[str]):
+    """Drop nodes/initializers not reachable from the graph outputs."""
+    live = set(out_names)
+    for node in reversed(builder.nodes):
+        if any(o in live for o in node.outputs):
+            live.update(node.inputs)
+    builder.nodes = [n for n in builder.nodes if any(o in live for o in n.outputs)]
+    builder.initializers = {
+        k: v for k, v in builder.initializers.items() if k in live
+    }
+    return live
+
+
+def export_onnx(
+    fn,
+    example_args: Sequence,
+    path: Optional[str] = None,
+    *,
+    opset: int = 13,
+    graph_name: str = "yolov6",
+    input_names: Optional[List[str]] = None,
+    output_names: Optional[List[str]] = None,
+    doc: str = "",
+) -> bytes:
+    """Trace ``fn(*example_args)`` and serialize it as an ONNX model.
+
+    Shapes are static (taken from the example args). Returns the serialized
+    ModelProto bytes; also written to ``path`` if given.
+    """
+    import jax
+
+    closed = jax.make_jaxpr(fn)(*example_args)
+    jaxpr = closed.jaxpr
+
+    builder = _Builder()
+    in_names = input_names or [f"input_{i}" for i in range(len(jaxpr.invars))]
+    if len(in_names) != len(jaxpr.invars):
+        raise ValueError("input_names length mismatch")
+    conv = _Converter(builder)
+    raw_outs = conv.run(jaxpr, closed.consts, list(in_names))
+
+    out_names = output_names or [f"output_{i}" for i in range(len(raw_outs))]
+    if len(out_names) != len(raw_outs):
+        raise ValueError("output_names length mismatch")
+    final = []
+    for raw, name in zip(raw_outs, out_names):
+        # bind each graph output through an Identity so renaming can never
+        # break other consumers of the producing node's tensor
+        node = op.Node("Identity", [raw], [name], name=f"out_{name}")
+        builder.nodes.append(node)
+        builder.produced_by[name] = node
+        final.append(name)
+
+    _prune_dead(builder, final)
+
+    def vinfo(name, aval):
+        return op.ValueInfo(
+            name, int(op.NP_TO_ONNX[_np_dtype(aval)]), tuple(int(s) for s in aval.shape)
+        )
+
+    graph = op.Graph(
+        name=graph_name,
+        nodes=builder.nodes,
+        inputs=[vinfo(n, v.aval) for n, v in zip(in_names, jaxpr.invars)],
+        outputs=[vinfo(n, v.aval) for n, v in zip(final, jaxpr.outvars)],
+        initializers=list(builder.initializers.values()),
+    )
+    data = op.encode_model(graph, opset=opset, doc=doc)
+    if path is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+    return data

@@ -26,6 +26,11 @@ def initialize_distributed():
     """Multi-host init (replaces torch.distributed.init_process_group)."""
     if int(os.environ.get("YOLOV6_TPU_MULTIHOST", "0")):
         jax.distributed.initialize()
+    # the import-time LOGGER level assumed primary (events._primary_process
+    # must not initialize a backend); re-evaluate now that jax is up
+    from yolov6_tpu.utils.events import refresh_log_level
+
+    refresh_log_level()
     if jax.process_index() == 0:
         LOGGER.info(
             f"jax devices: {jax.device_count()} total, {jax.local_device_count()} local, "

@@ -13,13 +13,23 @@ import shutil
 
 
 def _primary_process() -> bool:
-    # Avoid importing jax at module import time inside worker processes.
+    """True on the primary host — WITHOUT initializing a jax backend.
+
+    Calling jax.process_index() here would initialize the platform at import
+    time, before CLIs get a chance to force CPU (jax.config.update), and
+    hangs every tool when the TPU tunnel is unreachable. Only consult jax if
+    a backend already exists; otherwise assume primary — multi-host runs
+    call refresh_log_level() after jax.distributed.initialize()
+    (parallel/mesh.initialize_distributed)."""
     try:
         import jax
+        from jax._src import xla_bridge
 
-        return jax.process_index() == 0
+        if xla_bridge.backends_are_initialized():
+            return jax.process_index() == 0
     except Exception:
-        return True
+        pass
+    return True
 
 
 def set_logging(name: str = "yolov6_tpu") -> logging.Logger:
@@ -33,6 +43,13 @@ def set_logging(name: str = "yolov6_tpu") -> logging.Logger:
     logger.setLevel(level)
     logger.propagate = False
     return logger
+
+
+def refresh_log_level():
+    """Re-evaluate the per-host log level once jax IS initialized (called
+    from parallel.mesh.initialize_distributed): non-primary hosts drop to
+    WARNING so multi-host runs emit INFO logs once."""
+    set_logging()
 
 
 LOGGER = set_logging()
