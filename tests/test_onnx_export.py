@@ -120,6 +120,69 @@ def test_onnx_initializer_roundtrip():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_onnx_end2end_nms_tail_vs_oracle():
+    """The ORT end2end tail (standard NonMaxSuppression + gather/sort,
+    reference end2end.py:140-189) must reproduce reference NMS semantics:
+    compare against the numpy oracle from test_nms on raw predictions
+    (identity 'model' isolates the tail)."""
+    from test_nms import _random_preds, oracle_nms
+
+    preds = _random_preds(b=2, a=200, nc=6, seed=11)
+    data = export_onnx(
+        lambda p: p, (jnp.asarray(preds),),
+        nms=dict(max_obj=1000, iou_thres=0.65, score_thres=0.3),
+    )
+    num_det, det_boxes, det_scores, det_classes = OnnxRunner(data)(preds)
+    want = oracle_nms(preds, 0.3, 0.65, multi_label=True, max_det=10**9)
+    assert num_det.shape == (2, 1)
+    for i in range(2):
+        n = int(num_det[i, 0])
+        got = {
+            (tuple(np.round(det_boxes[i, j], 3)), int(det_classes[i, j]),
+             round(float(det_scores[i, j]), 5))
+            for j in range(n)
+        }
+        ref = {
+            (tuple(np.round(r[:4], 3)), int(r[5]), round(float(r[4]), 5))
+            for r in want[i]
+        }
+        assert got == ref
+        # scores sorted descending over the valid prefix; padding after
+        assert (np.diff(det_scores[i, :n]) <= 1e-6).all()
+        assert (det_scores[i, n:] <= 0).all()
+        assert (det_classes[i, n:] == -1).all()
+
+
+def test_onnx_end2end_with_model():
+    """Full chain: deploy fwd + decode + in-graph NMS, parity vs the oracle
+    applied to the JAX decode output."""
+    from test_nms import oracle_nms
+
+    fwd = _deploy_fwd("configs/yolov6n.py", nc=8, img=64)
+    x = np.random.default_rng(3).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    # score_thres below the head's prior-prob bias init (~0.01) so the
+    # untrained model yields detections and the check is non-vacuous
+    data = export_onnx(
+        fwd, (jnp.asarray(x),),
+        nms=dict(max_obj=20, iou_thres=0.65, score_thres=0.005),
+    )
+    num_det, det_boxes, det_scores, det_classes = OnnxRunner(data)(x)
+    assert int(num_det.sum()) > 0
+    preds = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    want = oracle_nms(preds, 0.005, 0.65, multi_label=True, max_det=10**9)
+    for i in range(x.shape[0]):
+        n = int(num_det[i, 0])
+        # per-class cap (max_obj=20) can bind on dense untrained outputs:
+        # oracle rows must then be a superset of the kept set
+        got = {
+            (tuple(np.round(det_boxes[i, j], 2)), int(det_classes[i, j]))
+            for j in range(n)
+        }
+        ref = {(tuple(np.round(r[:4], 2)), int(r[5])) for r in want[i]}
+        assert got <= ref
+        assert len(got) == n
+
+
 def test_onnx_unsupported_primitive_is_loud():
     def fn(x):
         return jnp.cumsum(x)  # no cumsum handler

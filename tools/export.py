@@ -66,17 +66,10 @@ def main():
     if len(args.img_size) == 1:
         args.img_size = args.img_size * 2
 
-    if args.format == "onnx":
-        if args.end2end:
-            raise SystemExit(
-                "--format onnx exports model+decode only; in-graph NMS is the "
-                "StableHLO path (the reference's ONNX end2end likewise needs "
-                "runtime-specific NMS plugins)"
-            )
-        if args.half:
-            LOGGER.warning("--half ignored for ONNX: graphs are exported fp32 "
-                           "(consumers apply their own fp16/int8 modes)")
-            args.half = False
+    if args.format == "onnx" and args.half:
+        LOGGER.warning("--half ignored for ONNX: graphs are exported fp32 "
+                       "(consumers apply their own fp16/int8 modes)")
+        args.half = False
 
     cfg = Config.fromfile(args.config)
     model = build_model(
@@ -88,7 +81,7 @@ def main():
         training_mode=cfg.get("training_mode", "repvgg"),
     )
 
-    if args.end2end:
+    if args.end2end and args.format != "onnx":
         serve = make_end2end_fn(
             model, variables, args.conf_thres, args.iou_thres, args.max_det,
             with_preprocess=args.with_preprocess, half=args.half,
@@ -113,12 +106,20 @@ def main():
         output = args.output or args.weights.rsplit(".", 1)[0] + ".onnx"
         in_dtype = jnp.uint8 if args.with_preprocess else jnp.float32
         example = jnp.zeros((args.batch_size, *args.img_size, 3), in_dtype)
+        nms = (
+            dict(max_obj=args.max_det, iou_thres=args.iou_thres,
+                 score_thres=args.conf_thres)
+            if args.end2end else None
+        )
         t0 = time.time()
         export_onnx(serve, (example,), output,
-                    input_names=["images"], output_names=["outputs"],
+                    input_names=["images"],
+                    output_names=None if args.end2end else ["outputs"],
+                    nms=nms,
                     graph_name=osp.basename(args.config).rsplit(".", 1)[0],
                     doc=f"yolov6-tpu export of {args.weights}")
-        LOGGER.info(f"Exported ONNX to {output} in {time.time() - t0:.1f}s")
+        LOGGER.info(f"Exported ONNX to {output} in {time.time() - t0:.1f}s"
+                    + (" (end2end: in-graph NonMaxSuppression)" if nms else ""))
         if args.check:
             from yolov6_tpu.export.onnx_numpy import OnnxRunner
 
@@ -127,13 +128,20 @@ def main():
                             example.shape).astype(example.dtype)
             with open(output, "rb") as f:
                 runner = OnnxRunner(f.read())
-            got = runner(x)[0]
+            outs = runner(x)
             import jax
 
-            want = np.asarray(jax.jit(serve)(jnp.asarray(x)))
-            np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
-            LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
-                        f"output {got.shape}")
+            if args.end2end:
+                num_det, det_boxes, det_scores, det_classes = outs
+                assert int(num_det.sum()) == int((det_scores > 0).sum())
+                LOGGER.info(f"Round-trip OK (end2end): shapes "
+                            f"{[tuple(o.shape) for o in outs]}, "
+                            f"num_dets={num_det.ravel().tolist()}")
+            else:
+                want = np.asarray(jax.jit(serve)(jnp.asarray(x)))
+                np.testing.assert_allclose(outs[0], want, atol=5e-4, rtol=1e-4)
+                LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
+                            f"output {outs[0].shape}")
         return
 
     output = args.output or args.weights.rsplit(".", 1)[0] + ".stablehlo"

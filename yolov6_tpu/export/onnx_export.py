@@ -518,6 +518,121 @@ class _Converter:
         return self.b.transpose(out, list(np.argsort(perm)))
 
 
+def _append_ort_nms(
+    builder: _Builder,
+    pred: str,
+    batch: int,
+    nc: int,
+    max_obj: int,
+    iou_thres: float,
+    score_thres: float,
+) -> List[str]:
+    """Append the reference's ORT end2end tail to the graph: standard
+    NonMaxSuppression + gather/sort ops turning ``pred`` [b, A, 5+nc]
+    (xywh, obj, cls) into (num_det [b,1], det_boxes [b,S,4], det_scores
+    [b,S], det_classes [b,S]) with S dynamic, score-sorted, zero/-1 padded
+    — byte-for-byte the reference ONNX_ORT contract
+    (reference: yolov6/models/end2end.py:140-189)."""
+    b = builder
+    i64 = lambda v: b.const(np.asarray(v, np.int64))  # noqa: E731
+
+    def col_slice(x, lo, hi, axis=2):
+        return b.emit(
+            "Slice", [x, i64([lo]), i64([hi]), i64([axis])]
+        )[0]
+
+    box = col_slice(pred, 0, 4)          # [b,A,4] xywh
+    conf = col_slice(pred, 4, 5)         # [b,A,1]
+    cls = col_slice(pred, 5, 5 + nc)     # [b,A,nc]
+    score = b.emit("Mul", [cls, conf])[0]
+    # xywh -> xyxy via the reference's 4x4 convert matrix (MatMul)
+    cm = b.const(
+        np.array(
+            [[1, 0, 1, 0], [0, 1, 0, 1], [-0.5, 0, 0.5, 0], [0, -0.5, 0, 0.5]],
+            np.float32,
+        ),
+        "convert_matrix",
+    )
+    nms_box = b.emit("MatMul", [box, cm])[0]           # [b,A,4] xyxy
+    nms_score = b.transpose(score, (0, 2, 1))          # [b,nc,A]
+    selected = b.emit(
+        "NonMaxSuppression",
+        [
+            nms_box,
+            nms_score,
+            i64([max_obj]),
+            b.const(np.asarray([iou_thres], np.float32)),
+            b.const(np.asarray([score_thres], np.float32)),
+        ],
+        hint="nms",
+    )[0]  # [S,3] int64 (batch, class, box)
+
+    def sel_col(lo, hi):
+        c = b.emit("Slice", [selected, i64([lo]), i64([hi]), i64([1])])[0]
+        return c  # [S,1]
+
+    batch_inds, cls_inds, box_inds = sel_col(0, 1), sel_col(1, 2), sel_col(2, 3)
+    sel_score = b.emit("GatherND", [nms_score, selected])[0]        # [S]
+    bb_idx = b.emit("Concat", [batch_inds, box_inds], axis=1)[0]    # [S,2]
+    sel_box = b.emit("GatherND", [nms_box, bb_idx])[0]              # [S,4]
+    sel_score2 = b.emit("Unsqueeze", [sel_score, i64([1])])[0]      # [S,1]
+    dets = b.emit("Concat", [sel_box, sel_score2], axis=1)[0]       # [S,5]
+
+    # batched_dets[bi] = dets where batch_inds == bi else 0
+    dets_u = b.emit("Unsqueeze", [dets, i64([0])])[0]               # [1,S,5]
+    s5 = b.emit("Shape", [dets])[0]                                  # [S,5]
+    bshape = b.emit("Concat", [i64([batch]), s5], axis=0)[0]        # [b,S,5]
+    batched = b.emit("Expand", [dets_u, bshape])[0]                 # [b,S,5]
+    binds_t = b.transpose(batch_inds, (1, 0))                       # [1,S]
+    btmpl = b.const(np.arange(batch, dtype=np.int64)[:, None], "batch_ids")
+    in_batch = b.emit("Equal", [binds_t, btmpl])[0]                 # [b,S]
+    in_batch3 = b.emit("Unsqueeze", [in_batch, i64([2])])[0]        # [b,S,1]
+    zero = b.const(np.asarray(0.0, np.float32))
+    batched = b.emit("Where", [in_batch3, batched, zero])[0]
+    labels_t = b.transpose(cls_inds, (1, 0))                        # [1,S]
+    sl = b.emit("Shape", [labels_t])[0]
+    lshape = b.emit(
+        "Concat", [i64([batch]), b.emit("Slice", [sl, i64([1]), i64([2])])[0]],
+        axis=0,
+    )[0]
+    blabels = b.emit("Expand", [labels_t, lshape])[0]               # [b,S]
+    neg1 = b.const(np.asarray(-1, np.int64))
+    blabels = b.emit("Where", [in_batch, blabels, neg1])[0]
+
+    # append one all-zero det / -1 label per image (keeps TopK non-empty
+    # and terminates the valid prefix), then sort by score descending
+    pad_d = b.const(np.zeros((batch, 1, 5), np.float32), "pad_det")
+    pad_l = b.const(np.full((batch, 1), -1, np.int64), "pad_label")
+    batched = b.emit("Concat", [batched, pad_d], axis=1)[0]         # [b,S+1,5]
+    blabels = b.emit("Concat", [blabels, pad_l], axis=1)[0]         # [b,S+1]
+    scores_col = b.emit(
+        "Slice", [batched, i64([4]), i64([5]), i64([2])]
+    )[0]                                                            # [b,S+1,1]
+    scores2d = b.emit("Squeeze", [scores_col, i64([2])])[0]         # [b,S+1]
+    k = b.emit(
+        "Gather", [b.emit("Shape", [scores2d])[0], i64(1)], axis=0, hint="k"
+    )[0]
+    k1 = b.emit("Unsqueeze", [k, i64([0])])[0]
+    _, topk_inds = b.emit("TopK", [scores2d, k1], n_out=2, axis=1,
+                          largest=1, sorted=1)
+    det_scores = b.emit("GatherElements", [scores2d, topk_inds], axis=1)[0]
+    det_classes = b.emit("GatherElements", [blabels, topk_inds], axis=1)[0]
+    ti3 = b.emit("Unsqueeze", [topk_inds, i64([2])])[0]             # [b,S+1,1]
+    s3 = b.emit("Shape", [batched])[0]
+    ti3e = b.emit(
+        "Expand",
+        [ti3, b.emit("Concat",
+                     [b.emit("Slice", [s3, i64([0]), i64([2])])[0], i64([5])],
+                     axis=0)[0]],
+    )[0]
+    sorted_dets = b.emit("GatherElements", [batched, ti3e], axis=1)[0]
+    det_boxes = b.emit("Slice", [sorted_dets, i64([0]), i64([4]), i64([2])])[0]
+    pos = b.emit("Greater", [det_scores, zero])[0]
+    pos_i = b.emit("Cast", [pos], to=int(op.NP_TO_ONNX[np.dtype(np.int64)]))[0]
+    num_det = b.emit("ReduceSum", [pos_i, i64([1])], keepdims=1)[0]  # [b,1]
+    return [num_det, det_boxes, det_scores, det_classes]
+
+
 def _prune_dead(builder: _Builder, out_names: List[str]):
     """Drop nodes/initializers not reachable from the graph outputs."""
     live = set(out_names)
@@ -540,12 +655,19 @@ def export_onnx(
     graph_name: str = "yolov6",
     input_names: Optional[List[str]] = None,
     output_names: Optional[List[str]] = None,
+    nms: Optional[dict] = None,
     doc: str = "",
 ) -> bytes:
     """Trace ``fn(*example_args)`` and serialize it as an ONNX model.
 
     Shapes are static (taken from the example args). Returns the serialized
     ModelProto bytes; also written to ``path`` if given.
+
+    ``nms`` (keys: max_obj, iou_thres, score_thres) appends the reference's
+    ORT end2end tail: ``fn`` must then return a single [b, A, 5+nc]
+    prediction tensor, and the model outputs become (num_det, det_boxes,
+    det_scores, det_classes) via the standard NonMaxSuppression op
+    (reference: yolov6/models/end2end.py:140-189; det dim is dynamic).
     """
     import jax
 
@@ -558,6 +680,33 @@ def export_onnx(
         raise ValueError("input_names length mismatch")
     conv = _Converter(builder)
     raw_outs = conv.run(jaxpr, closed.consts, list(in_names))
+
+    out_specs: List[tuple] = [
+        (int(op.NP_TO_ONNX[_np_dtype(v.aval)]), tuple(int(s) for s in v.aval.shape))
+        for v in jaxpr.outvars
+    ]
+    if nms is not None:
+        if len(raw_outs) != 1:
+            raise ValueError("nms tail needs a single [b, A, 5+nc] output")
+        pred_aval = jaxpr.outvars[0].aval
+        batch, nc = int(pred_aval.shape[0]), int(pred_aval.shape[-1]) - 5
+        raw_outs = _append_ort_nms(
+            builder, raw_outs[0], batch, nc,
+            int(nms.get("max_obj", 100)),
+            float(nms.get("iou_thres", 0.45)),
+            float(nms.get("score_thres", 0.25)),
+        )
+        i64 = int(op.NP_TO_ONNX[np.dtype(np.int64)])
+        f32 = int(op.NP_TO_ONNX[np.dtype(np.float32)])
+        out_specs = [
+            (i64, (batch, 1)),
+            (f32, (batch, "dets", 4)),
+            (f32, (batch, "dets")),
+            (i64, (batch, "dets")),
+        ]
+        output_names = output_names or [
+            "num_dets", "det_boxes", "det_scores", "det_classes"
+        ]
 
     out_names = output_names or [f"output_{i}" for i in range(len(raw_outs))]
     if len(out_names) != len(raw_outs):
@@ -573,7 +722,7 @@ def export_onnx(
 
     _prune_dead(builder, final)
 
-    def vinfo(name, aval):
+    def vinfo_in(name, aval):
         return op.ValueInfo(
             name, int(op.NP_TO_ONNX[_np_dtype(aval)]), tuple(int(s) for s in aval.shape)
         )
@@ -581,8 +730,11 @@ def export_onnx(
     graph = op.Graph(
         name=graph_name,
         nodes=builder.nodes,
-        inputs=[vinfo(n, v.aval) for n, v in zip(in_names, jaxpr.invars)],
-        outputs=[vinfo(n, v.aval) for n, v in zip(final, jaxpr.outvars)],
+        inputs=[vinfo_in(n, v.aval) for n, v in zip(in_names, jaxpr.invars)],
+        outputs=[
+            op.ValueInfo(n, et, shape)
+            for n, (et, shape) in zip(final, out_specs)
+        ],
         initializers=list(builder.initializers.values()),
     )
     data = op.encode_model(graph, opset=opset, doc=doc)

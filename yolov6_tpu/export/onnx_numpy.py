@@ -300,6 +300,83 @@ class OnnxRunner:
         e = np.exp(x - x.max(axis=ax, keepdims=True))
         return (e / e.sum(axis=ax, keepdims=True)).astype(x.dtype)
 
+    # --- gather / sort / NMS (the ORT end2end tail) ---
+    def op_Shape(self, a, x):
+        return np.asarray(x.shape, np.int64)
+
+    def op_Unsqueeze(self, a, x, axes=None):
+        axes = a.get("axes") if axes is None else axes
+        out = np.asarray(x)
+        for ax in sorted(int(v) for v in np.atleast_1d(axes)):
+            out = np.expand_dims(out, ax)
+        return out
+
+    def op_Squeeze(self, a, x, axes=None):
+        axes = a.get("axes") if axes is None else axes
+        if axes is None:
+            return np.squeeze(x)
+        return np.squeeze(x, tuple(int(v) for v in np.atleast_1d(axes)))
+
+    def op_Gather(self, a, data, indices):
+        return np.take(data, np.asarray(indices), axis=a.get("axis", 0))
+
+    def op_GatherND(self, a, data, indices):
+        if a.get("batch_dims", 0):
+            raise NotImplementedError("GatherND batch_dims")
+        indices = np.asarray(indices)
+        idx = tuple(indices[..., i] for i in range(indices.shape[-1]))
+        return data[idx]
+
+    def op_GatherElements(self, a, data, indices):
+        return np.take_along_axis(data, np.asarray(indices), axis=a.get("axis", 0))
+
+    def op_TopK(self, a, x, k):
+        axis = a.get("axis", -1)
+        k = int(np.asarray(k).reshape(-1)[0])
+        idx = np.argsort(-x if a.get("largest", 1) else x, axis=axis, kind="stable")
+        idx = np.take(idx, range(k), axis=axis)
+        return np.take_along_axis(x, idx, axis=axis), idx.astype(np.int64)
+
+    def op_NonMaxSuppression(self, a, boxes, scores, max_out=None,
+                             iou_th=None, score_th=None):
+        """Per ONNX spec: boxes [b,A,4], scores [b,C,A] ->
+        selected_indices [S,3] (batch, class, box). Corner order-agnostic."""
+        max_out = 0 if max_out is None else int(np.asarray(max_out).reshape(-1)[0])
+        iou_th = 0.0 if iou_th is None else float(np.asarray(iou_th).reshape(-1)[0])
+        score_th = (
+            None if score_th is None
+            else float(np.asarray(score_th).reshape(-1)[0])
+        )
+        if a.get("center_point_box", 0):
+            cx, cy, w, h = (boxes[..., i] for i in range(4))
+            boxes = np.stack(
+                [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1
+            )
+        lo = np.minimum(boxes[..., :2], boxes[..., 2:])
+        hi = np.maximum(boxes[..., :2], boxes[..., 2:])
+        area = np.prod(hi - lo, axis=-1)
+        sel = []
+        for bi in range(scores.shape[0]):
+            for ci in range(scores.shape[1]):
+                sc = scores[bi, ci]
+                order = np.argsort(-sc, kind="stable")
+                if score_th is not None:
+                    order = order[sc[order] > score_th]
+                keep: list = []
+                for i in order:
+                    if max_out and len(keep) >= max_out:
+                        break
+                    if keep:
+                        kl, kh = lo[bi, keep], hi[bi, keep]
+                        iw = np.minimum(hi[bi, i], kh) - np.maximum(lo[bi, i], kl)
+                        inter = np.prod(np.clip(iw, 0, None), axis=-1)
+                        iou = inter / (area[bi, i] + area[bi, keep] - inter + 1e-12)
+                        if (iou > iou_th).any():
+                            continue
+                    keep.append(int(i))
+                sel.extend([bi, ci, i] for i in keep)
+        return np.asarray(sel, np.int64).reshape(-1, 3)
+
     # --- linear / conv / pool ---
     def op_MatMul(self, a, x, y):
         return np.matmul(x, y)
