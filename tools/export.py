@@ -47,8 +47,14 @@ def main():
                              "over an N-device data mesh (one artifact "
                              "serves a multi-chip batch)")
     parser.add_argument("--format", choices=("stablehlo", "onnx"), default="stablehlo",
-                        help="onnx = model+decode opset-13 graph (no NMS; "
-                             "the reference's default export contract)")
+                        help="onnx = model+decode opset-13 graph "
+                             "(--end2end adds in-graph NonMaxSuppression)")
+    parser.add_argument("--quant", action="store_true",
+                        help="ONNX only: INT8 QDQ export from a PTQ/QAT "
+                             "checkpoint (QuantizeLinear/DequantizeLinear "
+                             "pairs + int8 weights; needs the 'quant' amax "
+                             "collection written by tools/quantize.py)")
+    parser.add_argument("--num-bits", type=int, default=8)
     parser.add_argument("--check", action="store_true", help="round-trip sanity check")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon TPU plugin "
@@ -112,25 +118,48 @@ def main():
             if args.end2end else None
         )
         t0 = time.time()
-        export_onnx(serve, (example,), output,
-                    input_names=["images"],
-                    output_names=None if args.end2end else ["outputs"],
-                    nms=nms,
-                    graph_name=osp.basename(args.config).rsplit(".", 1)[0],
-                    doc=f"yolov6-tpu export of {args.weights}")
+        if args.quant:
+            from yolov6_tpu.quant.fake_quant import set_quant_mode
+
+            if "quant" not in variables:
+                raise SystemExit(
+                    "--quant needs a PTQ/QAT checkpoint carrying the 'quant' "
+                    "amax collection (produce one with tools/quantize.py)"
+                )
+            set_quant_mode(True, num_bits=args.num_bits)
+        rng = np.random.default_rng(0)
+        x_chk = rng.uniform(0, 255 if args.with_preprocess else 1,
+                            example.shape).astype(example.dtype)
+        want = None
+        try:
+            data = export_onnx(
+                serve, (example,),
+                input_names=["images"],
+                output_names=None if args.end2end else ["outputs"],
+                nms=nms,
+                graph_name=osp.basename(args.config).rsplit(".", 1)[0],
+                doc=f"yolov6-tpu export of {args.weights}")
+            if args.quant:
+                from yolov6_tpu.export.onnx_quant import to_qdq
+
+                data = to_qdq(data, args.num_bits)
+            with open(output, "wb") as f:
+                f.write(data)
+            if args.check and not args.end2end:
+                # reference output from the SAME graph mode (quant incl.)
+                import jax
+
+                want = np.asarray(jax.jit(serve)(jnp.asarray(x_chk)))
+        finally:
+            if args.quant:
+                set_quant_mode(False)
         LOGGER.info(f"Exported ONNX to {output} in {time.time() - t0:.1f}s"
-                    + (" (end2end: in-graph NonMaxSuppression)" if nms else ""))
+                    + (" (end2end: in-graph NonMaxSuppression)" if nms else "")
+                    + (f" (INT8 QDQ, {args.num_bits}-bit)" if args.quant else ""))
         if args.check:
             from yolov6_tpu.export.onnx_numpy import OnnxRunner
 
-            rng = np.random.default_rng(0)
-            x = rng.uniform(0, 255 if args.with_preprocess else 1,
-                            example.shape).astype(example.dtype)
-            with open(output, "rb") as f:
-                runner = OnnxRunner(f.read())
-            outs = runner(x)
-            import jax
-
+            outs = OnnxRunner(data)(x_chk)
             if args.end2end:
                 num_det, det_boxes, det_scores, det_classes = outs
                 assert int(num_det.sum()) == int((det_scores > 0).sum())
@@ -138,7 +167,6 @@ def main():
                             f"{[tuple(o.shape) for o in outs]}, "
                             f"num_dets={num_det.ravel().tolist()}")
             else:
-                want = np.asarray(jax.jit(serve)(jnp.asarray(x)))
                 np.testing.assert_allclose(outs[0], want, atol=5e-4, rtol=1e-4)
                 LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
                             f"output {outs[0].shape}")

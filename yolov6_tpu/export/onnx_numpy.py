@@ -300,6 +300,29 @@ class OnnxRunner:
         e = np.exp(x - x.max(axis=ax, keepdims=True))
         return (e / e.sum(axis=ax, keepdims=True)).astype(x.dtype)
 
+    # --- quantization ---
+    @staticmethod
+    def _axis_shape(scale, x, axis):
+        if np.ndim(scale) == 0:
+            return scale
+        shape = [1] * x.ndim
+        shape[axis] = -1
+        return np.asarray(scale).reshape(shape)
+
+    def op_QuantizeLinear(self, a, x, scale, zp=None):
+        s = self._axis_shape(scale, x, a.get("axis", 1))
+        dt = np.int8 if zp is None else np.asarray(zp).dtype
+        info = np.iinfo(dt)
+        z = 0 if zp is None else self._axis_shape(zp, x, a.get("axis", 1))
+        q = np.round(x / s) + z  # round half-to-even per spec
+        return np.clip(q, info.min, info.max).astype(dt)
+
+    def op_DequantizeLinear(self, a, x, scale, zp=None):
+        axis = a.get("axis", 1)
+        s = self._axis_shape(scale, x, axis)
+        z = 0 if zp is None else self._axis_shape(zp, x, axis)
+        return ((x.astype(np.float32) - z) * s).astype(np.float32)
+
     # --- gather / sort / NMS (the ORT end2end tail) ---
     def op_Shape(self, a, x):
         return np.asarray(x.shape, np.int64)

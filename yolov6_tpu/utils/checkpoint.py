@@ -86,7 +86,11 @@ def load_checkpoint_variables(
         state = load_reference_checkpoint(weights, prefer_ema=prefer_ema)
         return import_checkpoint(state, spec, training_mode=training_mode, deploy=deploy)
     ckpt = load_native_checkpoint(weights)
-    variables = ckpt.get("ema") or ckpt.get("model") or ckpt
+    variables = dict(ckpt.get("ema") or ckpt.get("model") or ckpt)
+    # PTQ/QAT checkpoints carry calibrated amax ranges in a 'quant'
+    # collection (tools/quantize.py); it is not part of the model spec —
+    # detach for the layout check and re-attach to whatever loads
+    quant = variables.pop("quant", None)
 
     def _paths(tree, prefix=()):
         out = set()
@@ -110,8 +114,13 @@ def load_checkpoint_variables(
             f"graph (training_mode={training_mode}, deploy={deploy})"
         )
         state = native_variables_to_torch_state(variables)
-        return import_checkpoint(state, spec, training_mode=training_mode, deploy=deploy)
-    return jax.tree_util.tree_map(jnp.asarray, variables)
+        out = import_checkpoint(state, spec, training_mode=training_mode, deploy=deploy)
+    else:
+        out = jax.tree_util.tree_map(jnp.asarray, variables)
+    if quant is not None:
+        out = dict(out)
+        out["quant"] = jax.tree_util.tree_map(jnp.asarray, quant)
+    return out
 
 
 def load_state_dict_partial(variables, target_spec):
