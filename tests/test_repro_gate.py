@@ -52,9 +52,10 @@ def test_gate_tolerance_accounting(fake_coco, tmp_path, monkeypatch):
         name = osp.splitext(osp.basename(weights))[0]
         return (0.5, fake_maps[name]), []
 
-    import tools.eval as tool_eval
-
-    monkeypatch.setattr(tool_eval, "run", fake_run)
+    # the gate loads OUR tools/eval.py by explicit path (a bare tools.eval
+    # import can resolve to the reference repo when it is on sys.path);
+    # patch the loader rather than any tools.eval module object
+    monkeypatch.setattr(gate, "_load_eval_run", lambda: fake_run)
     out = tmp_path / "gate.json"
     args = gate.get_args_parser().parse_args([
         "--coco-root", fake_coco, "--weights-dir", str(wdir),

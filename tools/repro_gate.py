@@ -76,10 +76,26 @@ def build_coco_data_dict(coco_root: str) -> dict:
     return base
 
 
+def _load_eval_run():
+    """Import OUR tools/eval.py by explicit path: a bare ``tools.eval``
+    import can resolve to the reference repo's tools/ package when
+    /root/reference is on sys.path (golden-parity tests put it there), and
+    the reference evaler needs pycocotools."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "yolov6_tpu_tools_eval", osp.join(ROOT, "tools", "eval.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.run
+
+
 def main(args):
-    from tools.eval import run as eval_run
     from yolov6_tpu.utils.config import Config
     from yolov6_tpu.utils.general import download_ckpt
+
+    eval_run = _load_eval_run()
 
     data = build_coco_data_dict(args.coco_root)
     repro = Config.fromfile(osp.join(ROOT, "configs", "experiment", "eval_640_repro.py"))
