@@ -120,6 +120,34 @@ def test_onnx_initializer_roundtrip():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_onnx_dynamic_batch():
+    """--dynamic-batch analog: trace at a sentinel batch, rewrite shape
+    constants (Reshape -1 / runtime Expand), then run at other batch sizes.
+    yolov6m exercises the mid-vector batch position (upsample reshapes)."""
+    from yolov6_tpu.export.onnx_export import make_dynamic_batch
+    from yolov6_tpu.export.onnx_quant import encode_parsed
+
+    for config in ("configs/yolov6n.py", "configs/yolov6m.py"):
+        fwd = _deploy_fwd(config, nc=7, img=64)
+        data = export_onnx(
+            fwd, (jax.ShapeDtypeStruct((509, 64, 64, 3), jnp.float32),)
+        )
+        m = parse_model(data)
+        make_dynamic_batch(m, 509)
+        dyn = encode_parsed(m)
+        parsed = parse_model(dyn)
+        assert parsed.inputs[0][2][0] == "batch"
+        assert parsed.outputs[0][2][0] == "batch"
+        runner = OnnxRunner(dyn)
+        for b in (1, 3):
+            x = np.random.default_rng(b).uniform(0, 1, (b, 64, 64, 3)).astype(
+                np.float32
+            )
+            got = runner(x)[0]
+            want = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+            np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
 def test_onnx_end2end_nms_tail_vs_oracle():
     """The ORT end2end tail (standard NonMaxSuppression + gather/sort,
     reference end2end.py:140-189) must reproduce reference NMS semantics:

@@ -55,6 +55,9 @@ def main():
                              "pairs + int8 weights; needs the 'quant' amax "
                              "collection written by tools/quantize.py)")
     parser.add_argument("--num-bits", type=int, default=8)
+    parser.add_argument("--dynamic-batch", action="store_true",
+                        help="ONNX only: export with a dynamic batch "
+                             "dimension (reference export_onnx.py flag)")
     parser.add_argument("--check", action="store_true", help="round-trip sanity check")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (the axon TPU plugin "
@@ -111,7 +114,19 @@ def main():
 
         output = args.output or args.weights.rsplit(".", 1)[0] + ".onnx"
         in_dtype = jnp.uint8 if args.with_preprocess else jnp.float32
-        example = jnp.zeros((args.batch_size, *args.img_size, 3), in_dtype)
+        if args.dynamic_batch and args.end2end:
+            raise SystemExit("--dynamic-batch is not supported with --end2end "
+                             "(the NMS tail bakes per-batch constants)")
+        # dynamic batch: trace at a large prime sentinel so the batch dim is
+        # uniquely identifiable in shape constants, then rewrite
+        sentinel = 509
+        import jax as _jax
+
+        example = (
+            _jax.ShapeDtypeStruct((sentinel, *args.img_size, 3), in_dtype)
+            if args.dynamic_batch
+            else jnp.zeros((args.batch_size, *args.img_size, 3), in_dtype)
+        )
         nms = (
             dict(max_obj=args.max_det, iou_thres=args.iou_thres,
                  score_thres=args.conf_thres)
@@ -128,8 +143,11 @@ def main():
                 )
             set_quant_mode(True, num_bits=args.num_bits)
         rng = np.random.default_rng(0)
+        chk_shape = (
+            (3, *args.img_size, 3) if args.dynamic_batch else example.shape
+        )
         x_chk = rng.uniform(0, 255 if args.with_preprocess else 1,
-                            example.shape).astype(example.dtype)
+                            chk_shape).astype(example.dtype)
         want = None
         try:
             data = export_onnx(
@@ -143,6 +161,14 @@ def main():
                 from yolov6_tpu.export.onnx_quant import to_qdq
 
                 data = to_qdq(data, args.num_bits)
+            if args.dynamic_batch:
+                from yolov6_tpu.export.onnx_export import make_dynamic_batch
+                from yolov6_tpu.export.onnx_proto import parse_model
+                from yolov6_tpu.export.onnx_quant import encode_parsed
+
+                m = parse_model(data)
+                make_dynamic_batch(m, sentinel)
+                data = encode_parsed(m, opset=m.opset or 13)
             with open(output, "wb") as f:
                 f.write(data)
             if args.check and not args.end2end:

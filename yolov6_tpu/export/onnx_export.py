@@ -633,6 +633,86 @@ def _append_ort_nms(
     return [num_det, det_boxes, det_scores, det_classes]
 
 
+def make_dynamic_batch(m, sentinel: int, dim_param: str = "batch") -> None:
+    """Rewrite a model traced at a sentinel batch size into a dynamic-batch
+    model (reference: deploy/ONNX/export_onnx.py --dynamic-batch).
+
+    The converter bakes shapes into Reshape/Expand initializers; tracing at
+    a large prime sentinel makes the batch dimension uniquely identifiable
+    in them. Each Reshape shape gets its sentinel element replaced by -1
+    (inferred); each Expand target is rebuilt at runtime from
+    ``Shape(input)[0:1]``. Graph IO batch dims become ``dim_param``.
+    Mutates the ParsedModel in place.
+    """
+    from yolov6_tpu.export.onnx_proto import ParsedNode
+
+    inits = m.initializers
+    consumers: Dict[str, list] = {}
+    for node in m.nodes:
+        for i in node.inputs:
+            consumers.setdefault(i, []).append(node)
+
+    helpers: List[ParsedNode] = []
+    bdim = None
+
+    def get_bdim() -> str:
+        nonlocal bdim
+        if bdim is None:
+            inp = m.inputs[0][0]
+            inits["dynb_zero"] = np.asarray([0], np.int64)
+            inits["dynb_one"] = np.asarray([1], np.int64)
+            helpers.append(ParsedNode("Shape", [inp], ["dynb_shape"], "dynb_shape", {}))
+            helpers.append(
+                ParsedNode("Slice", ["dynb_shape", "dynb_zero", "dynb_one"],
+                           ["dynb_batch"], "dynb_batch", {})
+            )
+            bdim = "dynb_batch"
+        return bdim
+
+    for name, arr in list(inits.items()):
+        if arr.dtype != np.int64 or arr.ndim != 1 or not (arr == sentinel).any():
+            continue
+        if int((arr == sentinel).sum()) != 1:
+            raise ValueError(
+                f"dynamic batch: sentinel appears {int((arr == sentinel).sum())} "
+                f"times in shape initializer {name} ({arr.tolist()})"
+            )
+        for node in consumers.get(name, []):
+            if node.op_type == "Reshape":
+                rname = name + "_dynr"
+                if rname not in inits:
+                    new = arr.copy()
+                    new[arr == sentinel] = -1
+                    inits[rname] = new
+                node.inputs = [rname if i == name else i for i in node.inputs]
+            elif node.op_type == "Expand":
+                idx = int(np.argmax(arr == sentinel))
+                if idx != 0:
+                    raise ValueError(
+                        f"dynamic batch: Expand target {arr.tolist()} has the "
+                        f"batch at position {idx}"
+                    )
+                dname = name + "_dyne"
+                if dname not in inits and not any(
+                    h.outputs[0] == dname for h in helpers
+                ):
+                    inits[name + "_rest"] = arr[1:].copy()
+                    helpers.append(
+                        ParsedNode("Concat", [get_bdim(), name + "_rest"],
+                                   [dname], dname, {"axis": 0})
+                    )
+                node.inputs = [dname if i == name else i for i in node.inputs]
+            else:
+                raise ValueError(
+                    f"dynamic batch: sentinel initializer {name} consumed by "
+                    f"unsupported op {node.op_type}"
+                )
+        inits.pop(name, None)
+    m.nodes = helpers + m.nodes
+    m.inputs = [(n, et, (dim_param,) + tuple(sh[1:])) for n, et, sh in m.inputs]
+    m.outputs = [(n, et, (dim_param,) + tuple(sh[1:])) for n, et, sh in m.outputs]
+
+
 def _prune_dead(builder: _Builder, out_names: List[str]):
     """Drop nodes/initializers not reachable from the graph outputs."""
     live = set(out_names)
