@@ -137,7 +137,10 @@ class OnnxRunner:
         return x * y
 
     def op_Div(self, a, x, y):
-        return x / y if x.dtype.kind == "f" else x // y
+        if np.asarray(x).dtype.kind == "f":
+            return x / y
+        # ONNX integer Div truncates toward zero (C semantics), not floor
+        return np.trunc(np.asarray(x, np.float64) / y).astype(np.asarray(x).dtype)
 
     def op_Max(self, a, *xs):
         out = xs[0]

@@ -308,16 +308,16 @@ def parse_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
     dims = _parse_packed_i64(f.get(1, []))
     dtype = ONNX_TO_NP[f[2][0]]
     name = f.get(8, [b""])[0].decode()
-    if 9 in f:  # raw_data
+    if 9 in f:  # raw_data (what this writer emits)
         arr = np.frombuffer(f[9][0], dtype=dtype).reshape(dims)
-    elif 4 in f:  # float_data
-        vals = np.array(
-            struct.unpack(f"<{len(f[4][0]) // 4}f", f[4][0])
-            if isinstance(f[4][0], bytes)
-            else f[4],
-            np.float32,
-        )
-        arr = vals.astype(dtype).reshape(dims)
+    elif 4 in f:  # packed float_data (foreign writers)
+        vals: list = []
+        for payload in f[4]:
+            if isinstance(payload, bytes):  # packed (wire type 2)
+                vals += struct.unpack(f"<{len(payload) // 4}f", payload)
+            else:  # unpacked 32-bit (wire type 5) arrives as 4 raw bytes
+                vals.append(struct.unpack("<f", payload)[0])
+        arr = np.array(vals, np.float32).astype(dtype).reshape(dims)
     elif 7 in f:  # int64_data
         arr = np.array(_parse_packed_i64(f[7]), np.int64).astype(dtype).reshape(dims)
     else:
