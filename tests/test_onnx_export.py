@@ -81,6 +81,11 @@ def test_onnx_parity_lite():
     _parity("configs/yolov6_lite/yolov6_lite_s.py", img=96, batch=1)
 
 
+def test_onnx_parity_p6():
+    """P6 family: extra pyramid level, stride-64 head."""
+    _parity("configs/yolov6n6.py", img=128, batch=1)
+
+
 def test_onnx_preprocess_graph():
     """uint8 input with in-graph BGR->RGB + /255 (Cast + Slice + Div)."""
     fwd = _deploy_fwd("configs/yolov6n.py", nc=8, img=64)
