@@ -79,3 +79,36 @@ def test_qdq_model_parity():
     assert len(qdq) < 0.45 * len(raw)
     got = OnnxRunner(qdq)(x)[0]
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_qdq_dynamic_batch_compose():
+    """--quant --dynamic-batch together: QDQ rewrite then batch rewrite."""
+    from yolov6_tpu.export.onnx_export import make_dynamic_batch
+    from yolov6_tpu.export.onnx_quant import encode_parsed
+
+    cfg = Config.fromfile("configs/yolov6n.py")
+    model = build_model(cfg, num_classes=8, deploy=True)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    x2 = np.random.default_rng(1).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    try:
+        set_quant_mode(True, calibrating=True)
+        _, muts = model.apply(v, jnp.asarray(x2), train=False, mutable=["quant"])
+        variables = quantize_variables(dict(v), 8)
+        variables["quant"] = muts["quant"]
+        set_quant_mode(True)
+
+        def fwd(img):
+            head_out, _ = model.apply(variables, img, train=False)
+            return model.apply(variables, head_out, method=model.decode)
+
+        raw = export_onnx(
+            fwd, (jax.ShapeDtypeStruct((509, 64, 64, 3), jnp.float32),)
+        )
+        want = np.asarray(jax.jit(fwd)(jnp.asarray(x2)))
+    finally:
+        set_quant_mode(False)
+    m = parse_model(to_qdq(raw))
+    make_dynamic_batch(m, 509)
+    data = encode_parsed(m)
+    got = OnnxRunner(data)(x2)[0]
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)

@@ -42,15 +42,21 @@ _OPS = OnnxRunner(ParsedModel("", 13, [], [], [], {}))
 
 # ------------------------------------------------------------------ passes
 
-def fold_constants(m: ParsedModel, max_bytes: int = 1 << 20) -> None:
+def fold_constants(
+    m: ParsedModel, max_bytes: int = 1 << 20, skip_ops=("Expand",)
+) -> None:
     """Evaluate nodes with all-initializer inputs in place (skips outputs
-    larger than ``max_bytes`` and graph outputs, which must stay nodes)."""
+    larger than ``max_bytes`` and graph outputs, which must stay nodes).
+    ``Expand`` is never folded: it broadcasts along the batch dimension, so
+    folding would bloat the artifact batch-fold and bake the batch size in
+    (breaking a later make_dynamic_batch rewrite)."""
     inits = m.initializers
     graph_outputs = {n for n, _, _ in m.outputs}
     kept: List[ParsedNode] = []
     for node in m.nodes:
         foldable = (
             node.inputs
+            and node.op_type not in skip_ops
             and all((not i) or i in inits for i in node.inputs)
             and not any(o in graph_outputs for o in node.outputs)
         )
