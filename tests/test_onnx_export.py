@@ -216,6 +216,27 @@ def test_onnx_end2end_with_model():
         assert len(got) == n
 
 
+def test_onnx_fp16_export():
+    """to_fp16 halves the artifact and keeps loose numeric parity (the
+    numpy oracle accumulates in fp16; real runtimes accumulate fp32)."""
+    from yolov6_tpu.export.onnx_quant import encode_parsed, to_fp16
+
+    fwd = _deploy_fwd("configs/yolov6n.py", nc=8, img=64)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    data = export_onnx(fwd, (jnp.asarray(x),))
+    m = parse_model(data)
+    to_fp16(m)
+    half = encode_parsed(m)
+    assert len(half) < 0.6 * len(data)
+    parsed = parse_model(half)
+    from yolov6_tpu.export import onnx_proto as proto
+
+    assert parsed.inputs[0][1] == proto.FLOAT16
+    got = OnnxRunner(half)(x.astype(np.float16))[0].astype(np.float32)
+    want = np.asarray(jax.jit(fwd)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=0.5, rtol=0.05)
+
+
 def test_onnx_unsupported_primitive_is_loud():
     def fn(x):
         return jnp.cumsum(x)  # no cumsum handler

@@ -75,10 +75,15 @@ def main():
     if len(args.img_size) == 1:
         args.img_size = args.img_size * 2
 
+    onnx_half = False
     if args.format == "onnx" and args.half:
-        LOGGER.warning("--half ignored for ONNX: graphs are exported fp32 "
-                       "(consumers apply their own fp16/int8 modes)")
-        args.half = False
+        # trace in fp32 (bf16 has no ONNX consumer story); convert the
+        # serialized graph to fp16 post-hoc (reference: model.half() export)
+        onnx_half, args.half = True, False
+        if args.quant or args.end2end:
+            raise SystemExit("--half (fp16 ONNX) is incompatible with "
+                             "--quant (int8 QDQ) and --end2end "
+                             "(NonMaxSuppression requires fp32 inputs)")
 
     cfg = Config.fromfile(args.config)
     model = build_model(
@@ -161,13 +166,16 @@ def main():
                 from yolov6_tpu.export.onnx_quant import to_qdq
 
                 data = to_qdq(data, args.num_bits)
-            if args.dynamic_batch:
+            if args.dynamic_batch or onnx_half:
                 from yolov6_tpu.export.onnx_export import make_dynamic_batch
                 from yolov6_tpu.export.onnx_proto import parse_model
-                from yolov6_tpu.export.onnx_quant import encode_parsed
+                from yolov6_tpu.export.onnx_quant import encode_parsed, to_fp16
 
                 m = parse_model(data)
-                make_dynamic_batch(m, sentinel)
+                if args.dynamic_batch:
+                    make_dynamic_batch(m, sentinel)
+                if onnx_half:
+                    to_fp16(m)
                 data = encode_parsed(m, opset=m.opset or 13)
             with open(output, "wb") as f:
                 f.write(data)
@@ -185,7 +193,9 @@ def main():
         if args.check:
             from yolov6_tpu.export.onnx_numpy import OnnxRunner
 
-            outs = OnnxRunner(data)(x_chk)
+            outs = OnnxRunner(data)(
+                x_chk.astype(np.float16) if onnx_half else x_chk
+            )
             if args.end2end:
                 num_det, det_boxes, det_scores, det_classes = outs
                 assert int(num_det.sum()) == int((det_scores > 0).sum())
@@ -193,7 +203,12 @@ def main():
                             f"{[tuple(o.shape) for o in outs]}, "
                             f"num_dets={num_det.ravel().tolist()}")
             else:
-                np.testing.assert_allclose(outs[0], want, atol=5e-4, rtol=1e-4)
+                # fp16 checks are loose: the numpy oracle accumulates conv
+                # sums in fp16 (real runtimes accumulate fp32)
+                atol, rtol = (0.5, 0.05) if onnx_half else (5e-4, 1e-4)
+                np.testing.assert_allclose(
+                    outs[0].astype(np.float32), want, atol=atol, rtol=rtol
+                )
                 LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
                             f"output {outs[0].shape}")
         return

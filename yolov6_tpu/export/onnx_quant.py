@@ -240,6 +240,23 @@ def prune_dead(m: ParsedModel) -> None:
     m.initializers = {k: v for k, v in m.initializers.items() if k in live}
 
 
+def to_fp16(m: ParsedModel) -> None:
+    """Convert a float32 graph to float16 in place (the reference's --half
+    ONNX export, deploy/ONNX/export_onnx.py: model.half()): fp32
+    initializers, graph IO, and Cast targets become fp16. Consumers (TRT,
+    ORT) run the same ops in half precision."""
+    f32 = op.NP_TO_ONNX[np.dtype(np.float32)]
+    f16 = op.NP_TO_ONNX[np.dtype(np.float16)]
+    for name, arr in list(m.initializers.items()):
+        if arr.dtype == np.float32:
+            m.initializers[name] = arr.astype(np.float16)
+    for node in m.nodes:
+        if node.op_type == "Cast" and node.attrs.get("to") == f32:
+            node.attrs["to"] = f16
+    m.inputs = [(n, f16 if et == f32 else et, sh) for n, et, sh in m.inputs]
+    m.outputs = [(n, f16 if et == f32 else et, sh) for n, et, sh in m.outputs]
+
+
 # --------------------------------------------------------------- re-encode
 
 def encode_parsed(m: ParsedModel, opset: int = 13, doc: str = "") -> bytes:
