@@ -44,6 +44,7 @@ class Evaler:
         width: int = 640,
         max_det: int = 300,
         max_nms: int = 8192,
+        bf16_select: bool = False,
         do_coco_metric: bool = True,
         do_pr_metric: bool = False,
         plot_curve: bool = False,
@@ -70,6 +71,9 @@ class Evaler:
         # ~13 ms/b32 via the tiled keep kernel (sweep: docs/nms_fidelity.md,
         # tools/nms_sweep.py). 2000 was 6 ms but only 0.915 agreement.
         self.max_nms = max_nms
+        # bf16 candidate-ranking (fp32 re-score): opt-in until the mAP
+        # impact is measured on real data (docs/nms_fidelity.md)
+        self.bf16_select = bf16_select
         self.is_coco = data_dict.get("is_coco", False)
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
         self.class_names = tuple(data_dict.get("names", ()) or ())
@@ -104,6 +108,7 @@ class Evaler:
             return non_max_suppression(
                 preds, self.conf_thres, self.iou_thres, max_det=self.max_det,
                 max_nms=self.max_nms, multi_label=True,
+                bf16_select=self.bf16_select,
             )
 
         def _forward(variables, imgs_u8):
@@ -402,6 +407,7 @@ class Evaler:
             return non_max_suppression(
                 fwd(x), self.conf_thres, self.iou_thres, max_det=self.max_det,
                 max_nms=self.max_nms, multi_label=True,
+                bf16_select=self.bf16_select,
             )
 
         def timed(fn):

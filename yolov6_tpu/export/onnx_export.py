@@ -59,8 +59,6 @@ class _Builder:
         arr = np.asarray(arr)
         if arr.dtype == np.float64:
             arr = arr.astype(np.float32)
-        if arr.dtype == np.bool_:
-            pass
         key = (str(arr.dtype), arr.shape, arr.tobytes())
         if key in self._const_cache:
             return self._const_cache[key]
