@@ -56,6 +56,12 @@ def get_args_parser(add_help=True):
                         help="experiment config whose eval_params override CLI "
                              "args; lower priority than --reproduce_640_eval "
                              "(reference: tools/eval.py:52-67)")
+    parser.add_argument("--max-nms", type=int, default=8192,
+                        help="NMS candidate cap (fidelity measured in "
+                             "docs/nms_fidelity.md)")
+    parser.add_argument("--bf16-select", action="store_true",
+                        help="rank NMS candidates on a bf16 score grid "
+                             "(fp32 re-score; see docs/nms_fidelity.md)")
     parser.add_argument("--do_pr_metric", action="store_true")
     parser.add_argument("--plot_curve", default=True,
                         type=lambda s: s.lower() not in ("false", "0", "no"),
@@ -90,6 +96,8 @@ def run(
     height=640,
     width=640,
     artifact=None,
+    max_nms=8192,
+    bf16_select=False,
 ):
     """Evaluate a model; mirrors reference tools/eval.py:run (:88-159)."""
     Evaler.check_task(task)
@@ -105,6 +113,7 @@ def run(
     evaler = Evaler(
         data, batch_size, img_size, conf_thres, iou_thres, half, save_dir,
         shrink_size, infer_on_rect, verbose, specific_shape, height, width,
+        max_nms=max_nms, bf16_select=bf16_select,
         do_coco_metric=do_coco_metric, do_pr_metric=do_pr_metric,
         plot_curve=plot_curve, plot_confusion_matrix=plot_confusion_matrix,
     )
@@ -171,7 +180,8 @@ def main(args):
         do_pr_metric=args.do_pr_metric, plot_curve=args.plot_curve,
         plot_confusion_matrix=args.plot_confusion_matrix,
         specific_shape=args.specific_shape, height=args.height, width=args.width,
-        artifact=args.artifact,
+        artifact=args.artifact, max_nms=args.max_nms,
+        bf16_select=args.bf16_select,
     )
 
 
