@@ -72,7 +72,7 @@ def test_anchor_topc_prereduction_lossless():
 
 def test_tiled_matches_loop_backend():
     """Exact keep-set identity between the tiled and sequential backends,
-    including truncated caps and the multi-tile path (K=2048 -> 8 tiles)."""
+    including truncated caps and the multi-tile path (K=2048 -> 4 tiles)."""
     for scene, anchors, nc in (("mixed", 2048, 20), ("flood", 8400, 80)):
         pred, _ = dense_scenes(batch=2, anchors=anchors, nc=nc,
                                n_objects=40, seed=7, scene=scene)

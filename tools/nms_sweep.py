@@ -163,7 +163,7 @@ def main():
                     default=None, help="selection backend (default: auto)")
     ap.add_argument("--anchor-topc", type=int, default=16,
                     help="per-anchor class pre-reduction (0 disables)")
-    ap.add_argument("--tile", type=int, nargs="*", default=[256],
+    ap.add_argument("--tile", type=int, nargs="*", default=[512],
                     help="tiled-keep tile size(s) — multiple values sweep "
                          "in one process (amortizes scene gen + baseline)")
     ap.add_argument("--approx-only", action="store_true",

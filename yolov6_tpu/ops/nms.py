@@ -54,7 +54,7 @@ def _single_image_nms(
     agnostic: bool,
     class_mask: Optional[jnp.ndarray],
     exact_topk: bool = False,
-    anchor_topc: int = 16,
+    anchor_topc: int = 8,
     recall_target: float = 0.95,
     bf16_select: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -107,7 +107,7 @@ def _tiled_keep(
     scores: jnp.ndarray,
     iou_thres: float,
     max_det: int = 300,
-    tile: int = 256,
+    tile: int = 512,
 ) -> jnp.ndarray:
     """Greedy-NMS keep mask over score-sorted candidates, exact for the
     first ``max_det`` kept boxes (all a caller can emit).
@@ -276,7 +276,7 @@ def _emit_topk_kept(cand_boxes, scores, cls_idx, kept, max_det):
 
 def _single_image_nms_tiled(
     pred, conf_thres, iou_thres, max_det, max_nms, multi_label, agnostic,
-    class_mask, exact_topk=False, anchor_topc=16, tile=256,
+    class_mask, exact_topk=False, anchor_topc=8, tile=512,
     recall_target=0.95, bf16_select=False,
 ):
     """Tiled exact-greedy path: same keep-set as _single_image_nms."""
@@ -291,7 +291,7 @@ def _single_image_nms_tiled(
 
 def _select_candidates(
     pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-    exact_topk=False, anchor_topc=16, recall_target=0.95, bf16_select=False,
+    exact_topk=False, anchor_topc=8, recall_target=0.95, bf16_select=False,
 ):
     """Single-image candidate selection: (raw_boxes [K,4], nms_boxes [K,4],
     scores [K], cls [K]). Scores are zeroed below conf_thres.
@@ -384,8 +384,8 @@ def non_max_suppression(
     use_pallas: Optional[bool] = None,
     exact_topk: bool = False,
     method: Optional[str] = None,
-    anchor_topc: int = 16,
-    tile: int = 256,
+    anchor_topc: int = 8,
+    tile: int = 512,
     recall_target: float = 0.95,
     class_cap: int = 256,
     bf16_select: bool = False,
