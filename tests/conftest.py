@@ -19,19 +19,41 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite's wall time is dominated by
-# re-compiling the same train-step/eval graphs every run (single-core host,
-# ~100 min cold). Warm runs reuse the on-disk cache.
-_CACHE_DIR = os.environ.get("YOLOV6_TPU_TEST_CACHE", "/root/repo/.cache/jax")
-os.makedirs(_CACHE_DIR, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent compilation cache: the suite's wall time is dominated by
+# re-compiling the same train-step/eval graphs every run (single-core host,
+# ~100 min cold). Warm runs reuse the on-disk cache. The dir is keyed by a
+# machine fingerprint — XLA:CPU AOT entries from another host poison lookups.
+from yolov6_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+_CACHE_DIR = enable_persistent_cache(REPO_ROOT)
+
 REFERENCE_ROOT = "/root/reference"
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run minute-scale compile tests (full train-step/CLI graphs)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Cold-host tier: tests marked `slow` compile full train graphs and take
+    minutes each on this 1-core host with a cold XLA cache; they only run
+    with --runslow so a fresh machine sees green in <15 min. Warm hosts run
+    `pytest tests/ --runslow -q` for the complete suite."""
+    if config.getoption("--runslow"):
+        return
+    import pytest as _pytest
+
+    skip = _pytest.mark.skip(reason="needs --runslow (minute-scale cold compile)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 def reference_available() -> bool:

@@ -9,6 +9,8 @@ import sys
 import cv2
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full train-step compiles: minutes each cold on 1 core
 import yaml
 
 import conftest

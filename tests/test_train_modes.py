@@ -4,6 +4,8 @@ and (for distill) the KD term responds to the teacher."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full train-step compiles: minutes each cold on 1 core
+
 import conftest
 
 import jax

@@ -4,6 +4,8 @@ and the step runs SPMD over the virtual 8-device CPU mesh."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full train-step compiles: minutes each cold on 1 core
+
 import conftest
 
 import jax
