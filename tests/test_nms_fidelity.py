@@ -60,7 +60,7 @@ def test_anchor_topc_prereduction_lossless():
     of A*nc elements) keeps the final detection set identical to the full
     A*nc path on both scene families — a dropped 17th-best class of an
     anchor never survives the global top-k + greedy keep + top-300 emit.
-    The default (16) and an aggressive 8 are both exact here."""
+    The default (8) and the conservative 16 are both exact here."""
     for scene in ("mixed", "flood"):
         pred, _ = dense_scenes(batch=2, anchors=8400, nc=80, seed=5,
                                scene=scene)

@@ -161,7 +161,7 @@ def main():
                     default="all")
     ap.add_argument("--method", choices=("tiled", "pallas", "loop", "perclass"),
                     default=None, help="selection backend (default: auto)")
-    ap.add_argument("--anchor-topc", type=int, default=16,
+    ap.add_argument("--anchor-topc", type=int, default=8,
                     help="per-anchor class pre-reduction (0 disables)")
     ap.add_argument("--tile", type=int, nargs="*", default=[512],
                     help="tiled-keep tile size(s) — multiple values sweep "
