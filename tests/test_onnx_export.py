@@ -243,3 +243,99 @@ def test_onnx_unsupported_primitive_is_loud():
 
     with pytest.raises(NotImplementedError, match="cumsum"):
         export_onnx(fn, (jnp.zeros((4,), jnp.float32),))
+
+
+def _find_node(m, op_type):
+    nodes = [n for n in m.nodes if n.op_type == op_type]
+    assert len(nodes) == 1, f"{op_type}: {len(nodes)} nodes"
+    return nodes[0]
+
+
+def test_onnx_end2end_trt8_contract():
+    """--end2end --trt-version 8 must emit the exact EfficientNMS_TRT node +
+    attribute layout + output signature the reference exports for TensorRT
+    consumers (reference: yolov6/models/end2end.py:30-76 symbolic(), the
+    graph torch.onnx.export writes from ONNX_TRT8). Plugin ops cannot
+    execute outside TensorRT, so the contract is asserted structurally."""
+    from test_nms import _random_preds
+
+    preds = _random_preds(b=2, a=200, nc=6, seed=11)
+    data = export_onnx(
+        lambda p: p, (jnp.asarray(preds),),
+        nms=dict(max_obj=100, iou_thres=0.65, score_thres=0.3, trt_version=8),
+    )
+    m = parse_model(data)
+    assert m.opsets.get("TRT") == 1
+    node = _find_node(m, "EfficientNMS_TRT")
+    assert node.domain == "TRT"
+    assert node.attrs == {
+        "background_class": -1,
+        "box_coding": 1,
+        "iou_threshold": pytest.approx(0.65),
+        "max_output_boxes": 100,
+        "plugin_version": "1",
+        "score_activation": 0,
+        "score_threshold": pytest.approx(0.3),
+    }
+    assert len(node.inputs) == 2 and len(node.outputs) == 4
+    # boxes input is the raw xywh slice (box_coding=1): NO convert-matrix
+    # MatMul anywhere in the graph (TRT8 path, end2end.py:247-249)
+    assert not any(n.op_type == "MatMul" for n in m.nodes)
+    # output signature: num_dets [b,1] i32, boxes [b,max,4] f32,
+    # scores [b,max] f32, classes [b,max] i32 — det dim is FIXED
+    from yolov6_tpu.export import onnx_proto as proto
+
+    names = [n for n, _, _ in m.outputs]
+    assert names == ["num_dets", "det_boxes", "det_scores", "det_classes"]
+    types = [et for _, et, _ in m.outputs]
+    assert types == [proto.INT32, proto.FLOAT, proto.FLOAT, proto.INT32]
+    shapes = [sh for _, _, sh in m.outputs]
+    assert shapes == [(2, 1), (2, 100, 4), (2, 100), (2, 100)]
+
+
+def test_onnx_end2end_trt7_contract():
+    """--end2end --trt-version 7: BatchedNMSDynamic_TRT with the reference's
+    attribute set; boxes go xywh->xyxy (convert matrix) then gain the
+    shared-location class axis [b,A,1,4]; classes output is Cast to int32
+    (reference: yolov6/models/end2end.py:78-137,192-233)."""
+    from test_nms import _random_preds
+
+    preds = _random_preds(b=2, a=200, nc=6, seed=11)
+    data = export_onnx(
+        lambda p: p, (jnp.asarray(preds),),
+        nms=dict(max_obj=50, iou_thres=0.5, score_thres=0.25, trt_version=7),
+    )
+    m = parse_model(data)
+    assert m.opsets.get("TRT") == 1
+    node = _find_node(m, "BatchedNMSDynamic_TRT")
+    assert node.domain == "TRT"
+    assert node.attrs == {
+        "shareLocation": 1,
+        "plugin_version": "1",
+        "backgroundLabelId": -1,
+        "numClasses": 6,
+        "topK": 1000,
+        "keepTopK": 50,
+        "scoreThreshold": pytest.approx(0.25),
+        "iouThreshold": pytest.approx(0.5),
+        "isNormalized": 0,
+        "clipBoxes": 0,
+        "scoreBits": 16,
+        "caffeSemantics": 1,
+    }
+    # boxes path: MatMul(convert matrix) -> Unsqueeze(axis 2) -> plugin
+    producers = {o: n for n in m.nodes for o in n.outputs}
+    unsq = producers[node.inputs[0]]
+    assert unsq.op_type == "Unsqueeze"
+    assert np.array_equal(m.initializers[unsq.inputs[1]], [2])
+    assert producers[unsq.inputs[0]].op_type == "MatMul"
+    # classes come back float from the plugin and are Cast to int32
+    consumers = [n for n in m.nodes if node.outputs[3] in n.inputs]
+    assert [n.op_type for n in consumers] == ["Cast"]
+    from yolov6_tpu.export import onnx_proto as proto
+
+    assert consumers[0].attrs["to"] == proto.INT32
+    types = [et for _, et, _ in m.outputs]
+    assert types == [proto.INT32, proto.FLOAT, proto.FLOAT, proto.INT32]
+    shapes = [sh for _, _, sh in m.outputs]
+    assert shapes == [(2, 1), (2, 50, 4), (2, 50), (2, 50)]

@@ -25,6 +25,35 @@ from yolov6_tpu.utils.config import Config
 from yolov6_tpu.utils.events import LOGGER
 
 
+def _export_openvino(onnx_path: str, output_dir: str | None) -> None:
+    """ONNX -> OpenVINO IR via the model-optimizer CLI, mirroring the
+    reference's subprocess flow (reference:
+    deploy/OpenVINO/export_openvino.py:23-94: torch.onnx.export then
+    ``mo --input_model ... --output_dir ...``). The optimizer itself is
+    vendor tooling and not bundled; a clear error points at it."""
+    import shutil
+    import subprocess
+
+    mo = shutil.which("mo") or shutil.which("ovc")
+    if mo is None:
+        raise SystemExit(
+            "OpenVINO model optimizer (`mo`/`ovc`) not found on PATH — "
+            "install the openvino-dev package on the deploy host and re-run, "
+            f"or consume the ONNX file already written to {onnx_path}"
+        )
+    out_dir = output_dir or (onnx_path.rsplit(".", 1)[0] + "_openvino")
+    if osp.basename(mo) == "ovc":  # OpenVINO >= 2023 converter
+        cmd = [mo, onnx_path, "--output_model",
+               osp.join(out_dir, osp.basename(onnx_path).rsplit(".", 1)[0])]
+    else:
+        cmd = [mo, "--input_model", onnx_path, "--output_dir", out_dir]
+    LOGGER.info(f"Running: {' '.join(cmd)}")
+    res = subprocess.run(cmd)
+    if res.returncode != 0:
+        raise SystemExit(f"model optimizer failed with rc={res.returncode}")
+    LOGGER.info(f"Exported OpenVINO IR to {out_dir}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--weights", type=str, required=True)
@@ -35,6 +64,11 @@ def main():
     parser.add_argument("--num-classes", type=int, default=80)
     parser.add_argument("--half", action="store_true", help="bf16 compute")
     parser.add_argument("--end2end", action="store_true", help="include NMS in graph")
+    parser.add_argument("--trt-version", type=int, default=0, choices=(0, 7, 8),
+                        help="ONNX --end2end: emit the TensorRT NMS plugin "
+                             "contract instead of ORT NonMaxSuppression "
+                             "(8 = EfficientNMS_TRT, 7 = BatchedNMSDynamic_TRT; "
+                             "reference: yolov6/models/end2end.py:30-137)")
     parser.add_argument("--with-preprocess", action="store_true",
                         help="fold BGR->RGB + /255 into the graph")
     parser.add_argument("--conf-thres", type=float, default=0.25)
@@ -46,9 +80,13 @@ def main():
                         help="export a GSPMD artifact with the batch sharded "
                              "over an N-device data mesh (one artifact "
                              "serves a multi-chip batch)")
-    parser.add_argument("--format", choices=("stablehlo", "onnx"), default="stablehlo",
+    parser.add_argument("--format", choices=("stablehlo", "onnx", "openvino"),
+                        default="stablehlo",
                         help="onnx = model+decode opset-13 graph "
-                             "(--end2end adds in-graph NonMaxSuppression)")
+                             "(--end2end adds in-graph NonMaxSuppression); "
+                             "openvino = ONNX then OpenVINO model-optimizer "
+                             "IR via `mo` (reference: "
+                             "deploy/OpenVINO/export_openvino.py:23-94)")
     parser.add_argument("--quant", action="store_true",
                         help="ONNX only: INT8 QDQ export from a PTQ/QAT "
                              "checkpoint (QuantizeLinear/DequantizeLinear "
@@ -112,12 +150,14 @@ def main():
                 head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
             )
 
-    if args.format == "onnx":
+    if args.format in ("onnx", "openvino"):
         import numpy as np
 
         from yolov6_tpu.export.onnx_export import export_onnx
 
-        output = args.output or args.weights.rsplit(".", 1)[0] + ".onnx"
+        openvino = args.format == "openvino"
+        output = args.weights.rsplit(".", 1)[0] + ".onnx" if openvino \
+            else (args.output or args.weights.rsplit(".", 1)[0] + ".onnx")
         in_dtype = jnp.uint8 if args.with_preprocess else jnp.float32
         if args.dynamic_batch and args.end2end:
             raise SystemExit("--dynamic-batch is not supported with --end2end "
@@ -134,7 +174,8 @@ def main():
         )
         nms = (
             dict(max_obj=args.max_det, iou_thres=args.iou_thres,
-                 score_thres=args.conf_thres)
+                 score_thres=args.conf_thres,
+                 trt_version=args.trt_version or None)
             if args.end2end else None
         )
         t0 = time.time()
@@ -187,10 +228,20 @@ def main():
         finally:
             if args.quant:
                 set_quant_mode(False)
+        e2e_kind = ""
+        if nms:
+            e2e_kind = (
+                f" (end2end: TRT{args.trt_version} NMS plugin)"
+                if args.trt_version else " (end2end: in-graph NonMaxSuppression)"
+            )
         LOGGER.info(f"Exported ONNX to {output} in {time.time() - t0:.1f}s"
-                    + (" (end2end: in-graph NonMaxSuppression)" if nms else "")
+                    + e2e_kind
                     + (f" (INT8 QDQ, {args.num_bits}-bit)" if args.quant else ""))
-        if args.check:
+        if args.check and args.end2end and args.trt_version:
+            LOGGER.info("--check skipped: TRT plugin ops only execute inside "
+                        "TensorRT (graph structure is covered by "
+                        "tests/test_onnx_export.py)")
+        elif args.check:
             from yolov6_tpu.export.onnx_numpy import OnnxRunner
 
             outs = OnnxRunner(data)(
@@ -211,6 +262,8 @@ def main():
                 )
                 LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
                             f"output {outs[0].shape}")
+        if openvino:
+            _export_openvino(output, args.output)
         return
 
     output = args.output or args.weights.rsplit(".", 1)[0] + ".stablehlo"

@@ -47,9 +47,10 @@ class _Builder:
         return f"{hint}_{self._n}"
 
     def emit(self, op_type: str, inputs: Sequence[str], n_out: int = 1,
-             hint: Optional[str] = None, **attrs) -> List[str]:
+             hint: Optional[str] = None, domain: str = "", **attrs) -> List[str]:
         outs = [self.name(hint or op_type.lower()) for _ in range(n_out)]
-        node = op.Node(op_type, list(inputs), outs, name=outs[0], attrs=attrs)
+        node = op.Node(op_type, list(inputs), outs, name=outs[0], attrs=attrs,
+                       domain=domain)
         self.nodes.append(node)
         for o in outs:
             self.produced_by[o] = node
@@ -533,25 +534,7 @@ def _append_ort_nms(
     (reference: yolov6/models/end2end.py:140-189)."""
     b = builder
     i64 = lambda v: b.const(np.asarray(v, np.int64))  # noqa: E731
-
-    def col_slice(x, lo, hi, axis=2):
-        return b.emit(
-            "Slice", [x, i64([lo]), i64([hi]), i64([axis])]
-        )[0]
-
-    box = col_slice(pred, 0, 4)          # [b,A,4] xywh
-    conf = col_slice(pred, 4, 5)         # [b,A,1]
-    cls = col_slice(pred, 5, 5 + nc)     # [b,A,nc]
-    score = b.emit("Mul", [cls, conf])[0]
-    # xywh -> xyxy via the reference's 4x4 convert matrix (MatMul)
-    cm = b.const(
-        np.array(
-            [[1, 0, 1, 0], [0, 1, 0, 1], [-0.5, 0, 0.5, 0], [0, -0.5, 0, 0.5]],
-            np.float32,
-        ),
-        "convert_matrix",
-    )
-    nms_box = b.emit("MatMul", [box, cm])[0]           # [b,A,4] xyxy
+    nms_box, score = _split_pred(b, pred, nc, to_xyxy=True)  # [b,A,4] xyxy
     nms_score = b.transpose(score, (0, 2, 1))          # [b,nc,A]
     selected = b.emit(
         "NonMaxSuppression",
@@ -628,6 +611,108 @@ def _append_ort_nms(
     pos = b.emit("Greater", [det_scores, zero])[0]
     pos_i = b.emit("Cast", [pos], to=int(op.NP_TO_ONNX[np.dtype(np.int64)]))[0]
     num_det = b.emit("ReduceSum", [pos_i, i64([1])], keepdims=1)[0]  # [b,1]
+    return [num_det, det_boxes, det_scores, det_classes]
+
+
+def _split_pred(builder: _Builder, pred: str, nc: int, to_xyxy: bool):
+    """Common head of every end2end tail: split [b,A,5+nc] into boxes and
+    per-class scores (cls*obj); optionally xywh->xyxy via the reference's
+    4x4 convert matrix (reference: yolov6/models/end2end.py:149-160)."""
+    b = builder
+    i64 = lambda v: b.const(np.asarray(v, np.int64))  # noqa: E731
+
+    def col_slice(x, lo, hi, axis=2):
+        return b.emit("Slice", [x, i64([lo]), i64([hi]), i64([axis])])[0]
+
+    box = col_slice(pred, 0, 4)          # [b,A,4] xywh
+    conf = col_slice(pred, 4, 5)         # [b,A,1]
+    cls = col_slice(pred, 5, 5 + nc)     # [b,A,nc]
+    score = b.emit("Mul", [cls, conf])[0]
+    if to_xyxy:
+        cm = b.const(
+            np.array(
+                [[1, 0, 1, 0], [0, 1, 0, 1], [-0.5, 0, 0.5, 0], [0, -0.5, 0, 0.5]],
+                np.float32,
+            ),
+            "convert_matrix",
+        )
+        box = b.emit("MatMul", [box, cm])[0]           # [b,A,4] xyxy
+    return box, score
+
+
+def _append_trt8_nms(
+    builder: _Builder,
+    pred: str,
+    nc: int,
+    max_obj: int,
+    iou_thres: float,
+    score_thres: float,
+) -> List[str]:
+    """Append the TensorRT>=8 ``EfficientNMS_TRT`` plugin node (domain TRT).
+
+    Matches the reference's exported op + attribute layout byte-for-byte:
+    boxes stay xywh (box_coding=1), scores are [b,A,nc], outputs are
+    (num_dets [b,1] i32, det_boxes [b,max_obj,4] f32, det_scores
+    [b,max_obj] f32, det_classes [b,max_obj] i32)
+    (reference: yolov6/models/end2end.py:30-76,237-257)."""
+    b = builder
+    box, score = _split_pred(b, pred, nc, to_xyxy=False)
+    return b.emit(
+        "EfficientNMS_TRT",
+        [box, score],
+        n_out=4,
+        hint="trt8_nms",
+        domain="TRT",
+        background_class=-1,
+        box_coding=1,
+        iou_threshold=float(iou_thres),
+        max_output_boxes=int(max_obj),
+        plugin_version="1",
+        score_activation=0,
+        score_threshold=float(score_thres),
+    )
+
+
+def _append_trt7_nms(
+    builder: _Builder,
+    pred: str,
+    nc: int,
+    max_obj: int,
+    iou_thres: float,
+    score_thres: float,
+) -> List[str]:
+    """Append the TensorRT 7 ``BatchedNMSDynamic_TRT`` plugin node.
+
+    Boxes go through xywh->xyxy then gain a shared-location class axis
+    ([b,A,1,4]); outputs are (num_dets i32, det_boxes f32, det_scores f32,
+    det_classes f32 -> Cast i32), keepTopK = max_obj
+    (reference: yolov6/models/end2end.py:78-137,192-233)."""
+    b = builder
+    i64 = lambda v: b.const(np.asarray(v, np.int64))  # noqa: E731
+    box, score = _split_pred(b, pred, nc, to_xyxy=True)
+    box4 = b.emit("Unsqueeze", [box, i64([2])])[0]     # [b,A,1,4] shareLocation
+    num_det, det_boxes, det_scores, det_classes_f = b.emit(
+        "BatchedNMSDynamic_TRT",
+        [box4, score],
+        n_out=4,
+        hint="trt7_nms",
+        domain="TRT",
+        shareLocation=1,
+        plugin_version="1",
+        backgroundLabelId=-1,
+        numClasses=int(nc),
+        topK=1000,
+        keepTopK=int(max_obj),
+        scoreThreshold=float(score_thres),
+        iouThreshold=float(iou_thres),
+        isNormalized=0,
+        clipBoxes=0,
+        scoreBits=16,
+        caffeSemantics=1,
+    )
+    det_classes = b.emit(
+        "Cast", [det_classes_f], to=int(op.NP_TO_ONNX[np.dtype(np.int32)])
+    )[0]
     return [num_det, det_boxes, det_scores, det_classes]
 
 
@@ -741,11 +826,14 @@ def export_onnx(
     Shapes are static (taken from the example args). Returns the serialized
     ModelProto bytes; also written to ``path`` if given.
 
-    ``nms`` (keys: max_obj, iou_thres, score_thres) appends the reference's
-    ORT end2end tail: ``fn`` must then return a single [b, A, 5+nc]
-    prediction tensor, and the model outputs become (num_det, det_boxes,
-    det_scores, det_classes) via the standard NonMaxSuppression op
-    (reference: yolov6/models/end2end.py:140-189; det dim is dynamic).
+    ``nms`` (keys: max_obj, iou_thres, score_thres, trt_version) appends an
+    end2end tail: ``fn`` must then return a single [b, A, 5+nc] prediction
+    tensor, and the model outputs become (num_det, det_boxes, det_scores,
+    det_classes). trt_version None/0 emits the standard NonMaxSuppression
+    op (ORT contract, dynamic det dim — reference:
+    yolov6/models/end2end.py:140-189); 8 emits the EfficientNMS_TRT plugin
+    node, 7 BatchedNMSDynamic_TRT (fixed max_obj det dim — reference:
+    yolov6/models/end2end.py:30-137).
     """
     import jax
 
@@ -763,25 +851,41 @@ def export_onnx(
         (int(op.NP_TO_ONNX[_np_dtype(v.aval)]), tuple(int(s) for s in v.aval.shape))
         for v in jaxpr.outvars
     ]
+    extra_opsets: Dict[str, int] = {}
     if nms is not None:
         if len(raw_outs) != 1:
             raise ValueError("nms tail needs a single [b, A, 5+nc] output")
         pred_aval = jaxpr.outvars[0].aval
         batch, nc = int(pred_aval.shape[0]), int(pred_aval.shape[-1]) - 5
-        raw_outs = _append_ort_nms(
-            builder, raw_outs[0], batch, nc,
-            int(nms.get("max_obj", 100)),
-            float(nms.get("iou_thres", 0.45)),
-            float(nms.get("score_thres", 0.25)),
-        )
+        max_obj = int(nms.get("max_obj", 100))
+        iou_thres = float(nms.get("iou_thres", 0.45))
+        score_thres = float(nms.get("score_thres", 0.25))
+        trt_version = nms.get("trt_version")
         i64 = int(op.NP_TO_ONNX[np.dtype(np.int64)])
+        i32 = int(op.NP_TO_ONNX[np.dtype(np.int32)])
         f32 = int(op.NP_TO_ONNX[np.dtype(np.float32)])
-        out_specs = [
-            (i64, (batch, 1)),
-            (f32, (batch, "dets", 4)),
-            (f32, (batch, "dets")),
-            (i64, (batch, "dets")),
-        ]
+        if trt_version:  # TensorRT plugin contracts: fixed max_obj det dim
+            append = _append_trt8_nms if int(trt_version) >= 8 else _append_trt7_nms
+            raw_outs = append(
+                builder, raw_outs[0], nc, max_obj, iou_thres, score_thres
+            )
+            extra_opsets["TRT"] = 1
+            out_specs = [
+                (i32, (batch, 1)),
+                (f32, (batch, max_obj, 4)),
+                (f32, (batch, max_obj)),
+                (i32, (batch, max_obj)),
+            ]
+        else:  # ORT NonMaxSuppression contract: dynamic det dim
+            raw_outs = _append_ort_nms(
+                builder, raw_outs[0], batch, nc, max_obj, iou_thres, score_thres
+            )
+            out_specs = [
+                (i64, (batch, 1)),
+                (f32, (batch, "dets", 4)),
+                (f32, (batch, "dets")),
+                (i64, (batch, "dets")),
+            ]
         output_names = output_names or [
             "num_dets", "det_boxes", "det_scores", "det_classes"
         ]
@@ -815,7 +919,7 @@ def export_onnx(
         ],
         initializers=list(builder.initializers.values()),
     )
-    data = op.encode_model(graph, opset=opset, doc=doc)
+    data = op.encode_model(graph, opset=opset, doc=doc, extra_opsets=extra_opsets)
     if path is not None:
         with open(path, "wb") as f:
             f.write(data)

@@ -166,13 +166,15 @@ class Attribute:
 
 @dataclass
 class Node:
-    """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5."""
+    """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5,
+    domain=7 (custom domains, e.g. "TRT" for TensorRT plugin nodes)."""
 
     op_type: str
     inputs: List[str]
     outputs: List[str]
     name: str = ""
     attrs: Dict[str, object] = field(default_factory=dict)
+    domain: str = ""
 
     def encode(self) -> bytes:
         out = b"".join(_enc_str(1, s) for s in self.inputs)
@@ -182,6 +184,8 @@ class Node:
         out += _enc_str(4, self.op_type)
         for k, v in self.attrs.items():
             out += _enc_bytes(5, Attribute(k, v).encode())
+        if self.domain:
+            out += _enc_str(7, self.domain)
         return out
 
 
@@ -235,10 +239,12 @@ def encode_model(
     ir_version: int = 8,
     producer: str = "yolov6-tpu",
     doc: str = "",
+    extra_opsets: Optional[Dict[str, int]] = None,
 ) -> bytes:
     """ModelProto: ir_version=1, producer_name=2, producer_version=3,
     doc_string=6, graph=7, opset_import=8 (OperatorSetId{domain=1,
-    version=2})."""
+    version=2}). ``extra_opsets`` adds custom-domain imports (e.g.
+    {"TRT": 1} when the graph carries TensorRT plugin nodes)."""
     out = _enc_varint(1, ir_version)
     out += _enc_str(2, producer)
     out += _enc_str(3, "0.1")
@@ -246,6 +252,8 @@ def encode_model(
         out += _enc_str(6, doc)
     out += _enc_bytes(7, graph.encode())
     out += _enc_bytes(8, _enc_str(1, "") + _enc_varint(2, opset))
+    for dom, ver in (extra_opsets or {}).items():
+        out += _enc_bytes(8, _enc_str(1, dom) + _enc_varint(2, ver))
     return out
 
 
@@ -363,6 +371,7 @@ class ParsedNode:
     outputs: List[str]
     name: str
     attrs: Dict[str, object]
+    domain: str = ""
 
 
 @dataclass
@@ -373,6 +382,7 @@ class ParsedModel:
     inputs: List[Tuple[str, int, Tuple[object, ...]]]
     outputs: List[Tuple[str, int, Tuple[object, ...]]]
     initializers: Dict[str, np.ndarray]
+    opsets: Dict[str, int] = field(default_factory=dict)  # all domains
 
 
 def _parse_value_info(buf: bytes) -> Tuple[str, int, Tuple[object, ...]]:
@@ -396,9 +406,12 @@ def _parse_value_info(buf: bytes) -> Tuple[str, int, Tuple[object, ...]]:
 def parse_model(buf: bytes) -> ParsedModel:
     f = parse_fields(buf)
     opset = 0
+    opsets: Dict[str, int] = {}
     for op in f.get(8, []):
         of = parse_fields(op)
-        if of.get(1, [b""])[0] in (b"", b"ai.onnx"):
+        dom = of.get(1, [b""])[0]
+        opsets[dom.decode()] = of.get(2, [0])[0]
+        if dom in (b"", b"ai.onnx"):
             opset = of.get(2, [0])[0]
     g = parse_fields(f[7][0])
     nodes = []
@@ -411,6 +424,7 @@ def parse_model(buf: bytes) -> ParsedModel:
                 outputs=[s.decode() for s in nf.get(2, [])],
                 name=nf.get(3, [b""])[0].decode(),
                 attrs=dict(parse_attribute(a) for a in nf.get(5, [])),
+                domain=nf.get(7, [b""])[0].decode(),
             )
         )
     inits = dict(parse_tensor(t) for t in g.get(5, []))
@@ -421,4 +435,5 @@ def parse_model(buf: bytes) -> ParsedModel:
         inputs=[_parse_value_info(v) for v in g.get(11, [])],
         outputs=[_parse_value_info(v) for v in g.get(12, [])],
         initializers=inits,
+        opsets=opsets,
     )

@@ -261,7 +261,8 @@ def to_fp16(m: ParsedModel) -> None:
 
 def encode_parsed(m: ParsedModel, opset: int = 13, doc: str = "") -> bytes:
     nodes = [
-        op.Node(n.op_type, list(n.inputs), list(n.outputs), n.name, dict(n.attrs))
+        op.Node(n.op_type, list(n.inputs), list(n.outputs), n.name, dict(n.attrs),
+                domain=n.domain)
         for n in m.nodes
     ]
     graph = op.Graph(
@@ -271,7 +272,8 @@ def encode_parsed(m: ParsedModel, opset: int = 13, doc: str = "") -> bytes:
         outputs=[op.ValueInfo(n, et, sh) for n, et, sh in m.outputs],
         initializers=[op.Tensor(k, v) for k, v in m.initializers.items()],
     )
-    return op.encode_model(graph, opset=opset, doc=doc)
+    extra = {d: v for d, v in m.opsets.items() if d not in ("", "ai.onnx")}
+    return op.encode_model(graph, opset=opset, doc=doc, extra_opsets=extra or None)
 
 
 def to_qdq(model_bytes: bytes, num_bits: int = 8, doc: str = "") -> bytes:
