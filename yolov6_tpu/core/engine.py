@@ -330,12 +330,15 @@ class Trainer:
             cache_ram=args.cache_ram, max_labels=args.max_labels,
             shard_id=shard_id, num_shards=num_shards,
         )
-        val_loader = None
-        if self.main_process:
-            val_loader, _ = create_dataloader(
-                val_path, args.img_size, self.batch_size, hyp={},
-                data_dict=data_dict, task="val", num_workers=args.workers,
-            )
+        # every host gets a val shard: in-training eval is collective — each
+        # host predicts its shard SPMD over its local chips, the COCO rows
+        # are host-gathered and process 0 scores them (the reference evals
+        # on rank 0 only, engine.py:184-190 — here the predict work shards)
+        val_loader, _ = create_dataloader(
+            val_path, args.img_size, self.batch_size // num_shards, hyp={},
+            data_dict=data_dict, task="val", num_workers=args.workers,
+            shard_id=shard_id, num_shards=num_shards, pad_shards=False,
+        )
         return train_loader, val_loader
 
     # ---------------------------------------------------------------- train
@@ -563,9 +566,12 @@ class Trainer:
                 v = v[0]
             return default if v is None else v
 
+        n_proc = jax.process_count()
         evaler = Evaler(
             self.data_dict,
-            batch_size=val("batch_size", self.batch_size),
+            # per-host batch: every host predicts its own val shard SPMD
+            # over its LOCAL chips (Evaler builds a local mesh)
+            batch_size=val("batch_size", self.batch_size) // n_proc,
             img_size=val("img_size", self.img_size),
             conf_thres=val("conf_thres", 0.03),
             iou_thres=val("iou_thres", 0.65),
@@ -574,19 +580,39 @@ class Trainer:
             verbose=val("verbose", False),
             do_coco_metric=val("do_coco_metric", True),
             do_pr_metric=val("do_pr_metric", False),
-            # in-training eval runs on process 0 only; a mesh over global
-            # jax.devices() would reference non-addressable devices and hang
-            # the pod — keep SPMD eval for the single-host case
-            data_parallel=jax.process_count() == 1,
         )
         evaler.init_model(self.model, ema_variables)
         preds = evaler.predict_model(self.model, self.val_loader, task="train")
-        results = evaler.eval_model(preds, self.model, self.val_loader, task="train")
+        if n_proc > 1:
+            # collective: gather every host's COCO rows, score on process 0,
+            # broadcast the APs so best-ckpt tracking stays host-consistent
+            from jax.experimental import multihost_utils
+
+            from yolov6_tpu.core.evaler import gather_coco_predictions
+
+            preds = gather_coco_predictions(
+                preds, self.val_loader.dataset.img_paths
+            )
+            if self.main_process:
+                results = evaler.eval_model(
+                    preds, self.model, self.val_loader, task="train"
+                )
+            else:
+                results = (0.0, 0.0)
+            results = tuple(
+                float(v) for v in np.asarray(
+                    multihost_utils.broadcast_one_to_all(
+                        np.asarray(results, np.float32)
+                    )
+                )
+            )
+        else:
+            results = evaler.eval_model(preds, self.model, self.val_loader, task="train")
         LOGGER.info(
             f"Epoch: {self.epoch} | mAP@0.5: {results[0]} | mAP@0.50:0.95: {results[1]}"
         )
         self.evaluate_results = results[:2]
-        if self.tblogger:
+        if self.tblogger and self.main_process:
             self._plot_val_pred(preds)
 
     def _plot_val_pred(self, pred_results, vis_conf=0.3, vis_max_box_num=5, max_imgs=8):

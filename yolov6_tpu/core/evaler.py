@@ -85,15 +85,18 @@ class Evaler:
         self.pr_results = None
         # ---- multi-chip: shard the eval batch across a 1-D data mesh (the
         # serving/eval analog of DDP inference; SPMD — one jit, XLA splits
-        # the batch over ICI-connected chips, NMS included)
+        # the batch over ICI-connected chips, NMS included). The mesh covers
+        # the LOCAL devices only: in multi-host training each host evals its
+        # own dataset shard SPMD over its chips and the COCO rows are
+        # host-gathered afterwards (gather_coco_predictions) — a global mesh
+        # would reference non-addressable devices and hang the pod.
         self.mesh = None
-        if data_parallel and jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+        ndev = jax.local_device_count()
+        if data_parallel and ndev > 1 and batch_size % ndev == 0:
             from yolov6_tpu.parallel.mesh import create_mesh
 
-            self.mesh = create_mesh()
-            LOGGER.info(
-                f"eval: sharding batch {batch_size} across {jax.device_count()} devices"
-            )
+            self.mesh = create_mesh(local=True)
+            LOGGER.info(f"eval: sharding batch {batch_size} across {ndev} devices")
 
     # ------------------------------------------------------------ model/data
 
@@ -399,22 +402,25 @@ class Evaler:
         model = self.model
         dtype = jnp.bfloat16 if self.half else jnp.float32
 
-        def fwd(x):
-            head_out, _ = model.apply(self.variables, x.astype(dtype) / dtype(255.0), train=False)
+        def fwd(variables, x):
+            head_out, _ = model.apply(variables, x.astype(dtype) / dtype(255.0), train=False)
             return decode_eval(head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max)
 
-        def fwd_nms(x):
+        def fwd_nms(variables, x):
             return non_max_suppression(
-                fwd(x), self.conf_thres, self.iou_thres, max_det=self.max_det,
+                fwd(variables, x), self.conf_thres, self.iou_thres, max_det=self.max_det,
                 max_nms=self.max_nms, multi_label=True,
                 bf16_select=self.bf16_select,
             )
 
         def timed(fn):
+            # variables ride as a jit ARGUMENT: closing them over would embed
+            # every weight as an HLO constant, which compiles pathologically
+            # for M6/L6 through the axon tunnel (same fix as bench.py)
             @_partial(_jax.jit, static_argnames="n")
-            def loop(x, n):
+            def loop(variables, x, n):
                 def body(i, acc):
-                    out = fn(x + i.astype(jnp.float32) * 1e-9)
+                    out = fn(variables, x + i.astype(jnp.float32) * 1e-9)
                     return acc + _jax.tree_util.tree_reduce(
                         lambda a, o: a + jnp.sum(o).astype(jnp.float32) * 1e-9, out, jnp.float32(0)
                     )
@@ -424,9 +430,9 @@ class Evaler:
                 _jax.random.PRNGKey(0),
                 (batch_size, self.img_size, self.img_size, 3), jnp.float32, 0, 255,
             )
-            _jax.device_get(loop(x, iters))
+            _jax.device_get(loop(self.variables, x, iters))
             t0 = time.time()
-            _jax.device_get(loop(x, iters))
+            _jax.device_get(loop(self.variables, x, iters))
             return (time.time() - t0) / iters / batch_size * 1000  # ms/img
 
         t_fwd = timed(fwd)
@@ -482,3 +488,62 @@ class Evaler:
             if not osp.exists(p):
                 raise Exception(f"Dataset path {p} not found.")
         return data
+
+
+def _stem(path: str) -> str:
+    return osp.splitext(osp.basename(path))[0]
+
+
+def encode_pred_rows(pred_results, img_paths) -> np.ndarray:
+    """COCO prediction dicts -> [n, 7] float64 rows for host gathering.
+
+    image ids are encoded as the image's index in the dataset scan
+    (``img_paths``), which is deterministic and identical on every host —
+    string stems survive the numeric round-trip that way."""
+    idx_of = {_stem(p): i for i, p in enumerate(img_paths)}
+    rows = np.zeros((len(pred_results), 7), np.float64)
+    for r, p in zip(rows, pred_results):
+        r[0] = idx_of[str(p["image_id"])]
+        r[1] = p["category_id"]
+        r[2:6] = p["bbox"]
+        r[6] = p["score"]
+    return rows
+
+
+def decode_pred_rows(rows: np.ndarray, img_paths) -> list:
+    out = []
+    for r in rows:
+        stem = _stem(img_paths[int(r[0])])
+        out.append({
+            "image_id": int(stem) if stem.isnumeric() else stem,
+            "category_id": int(r[1]),
+            "bbox": [float(v) for v in r[2:6]],
+            "score": float(r[6]),
+        })
+    return out
+
+
+def gather_coco_predictions(pred_results, img_paths):
+    """Multi-host: allgather every host's COCO prediction rows so process 0
+    can run the (host-side) COCO evaluation over the full val set. Each
+    host predicts its own loader shard SPMD over its local chips; this is
+    the host-side reduce that replaces the reference's rank-0-only eval
+    (reference: engine.py:184-190 runs eval only on rank 0 — here all
+    hosts share the predict work). No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return pred_results
+    from jax.experimental import multihost_utils
+
+    rows = encode_pred_rows(pred_results, img_paths)
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([len(rows)], np.int64))
+    ).reshape(-1)
+    cap = int(counts.max())
+    padded = np.full((cap, 7), -1.0, np.float64)
+    padded[: len(rows)] = rows
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(-1, cap, 7)
+    out_rows = np.concatenate(
+        [g[: int(n)] for g, n in zip(gathered, counts)], axis=0
+    )
+    return decode_pred_rows(out_rows, img_paths)

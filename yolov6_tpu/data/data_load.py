@@ -41,6 +41,7 @@ class DataLoader:
         num_shards: int = 1,
         drop_last: bool = False,
         prefetch: int = 4,
+        pad_shards: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +54,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.pad_shards = pad_shards
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -62,10 +64,15 @@ class DataLoader:
         if self.shuffle:
             rng = random.Random(self.seed + self.epoch)
             rng.shuffle(idx)
-        # contiguous per-host shard (matches DistributedSampler's padding)
+        # contiguous per-host shard (matches DistributedSampler's padding).
+        # pad_shards=False disables the wrap-around fill — required for eval
+        # shards, where wrapped duplicates would double-count detections in
+        # the gathered COCO scoring (training keeps padding so every host
+        # runs the same number of steps between collectives).
         if self.num_shards > 1:
             per = int(np.ceil(len(idx) / self.num_shards))
-            idx = (idx * 2)[self.shard_id * per : (self.shard_id + 1) * per]
+            lo = self.shard_id * per
+            idx = (idx * 2)[lo : lo + per] if self.pad_shards else idx[lo : lo + per]
         return idx
 
     def __len__(self):
@@ -152,6 +159,7 @@ def create_dataloader(
     seed: int = 0,
     shard_id: int = 0,
     num_shards: int = 1,
+    pad_shards: bool = True,
 ):
     """Factory mirroring the reference signature (reference: data_load.py:15-93)."""
     if rect and shuffle:
@@ -184,5 +192,6 @@ def create_dataloader(
         shard_id=shard_id,
         num_shards=num_shards,
         drop_last=augment,
+        pad_shards=pad_shards,
     )
     return loader, dataset

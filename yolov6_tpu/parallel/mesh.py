@@ -38,9 +38,16 @@ def initialize_distributed():
         )
 
 
-def create_mesh(num_devices: Optional[int] = None) -> Mesh:
-    """1-D data-parallel mesh over (up to) all devices."""
-    devices = np.asarray(jax.devices() if num_devices is None else jax.devices()[:num_devices])
+def create_mesh(num_devices: Optional[int] = None, local: bool = False) -> Mesh:
+    """1-D data-parallel mesh over (up to) all devices.
+
+    ``local=True`` restricts the mesh to this process's addressable devices
+    — the right mesh for per-host SPMD work (e.g. in-training eval, where
+    each host evals its own dataset shard and results are gathered on the
+    host side; a global mesh there would reference non-addressable devices
+    and hang the pod)."""
+    devs = jax.local_devices() if local else jax.devices()
+    devices = np.asarray(devs if num_devices is None else devs[:num_devices])
     return Mesh(devices, (DATA_AXIS,))
 
 
