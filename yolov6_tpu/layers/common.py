@@ -109,6 +109,52 @@ class Conv2d(nn.Module):
         )(x)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's exact training semantics.
+
+    torch.nn.BatchNorm2d normalizes with the BIASED batch variance but
+    updates running_var with the UNBIASED one (Bessel N/(N-1)); flax's
+    nn.BatchNorm updates with the biased variance, which skews running
+    stats at small spatial sizes (caught by the 3-step integration golden,
+    tests/test_train_loop_golden.py). Parameter/collection names match
+    flax nn.BatchNorm, so checkpoints and the .pt importer are unchanged.
+    Statistics kept in fp32."""
+
+    use_running_average: bool = True
+    momentum: float = 0.97
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((feat,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((feat,), jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = 1
+                for i in axes:
+                    n *= x.shape[i]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(jnp.float32)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with the reference's eps/momentum (reference: utils/torch_utils.py:38-47
     sets eps=1e-3, momentum=0.03 for every BN). Statistics kept in fp32."""
@@ -119,7 +165,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
@@ -160,7 +206,7 @@ class ConvModule(nn.Module):
             name="conv",
         )(x)
         if not self.deploy:
-            x = nn.BatchNorm(
+            x = TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.97,
                 epsilon=1e-3,
@@ -398,7 +444,7 @@ class RepVGGBlock(nn.Module):
             self.out_channels, 1, self.stride, None, 0, self.groups, False, self.dtype, name="rbr_1x1"
         )(x, train)
         if self.out_channels == in_channels and self.stride == 1:
-            y = y + nn.BatchNorm(
+            y = y + TorchBatchNorm(
                 use_running_average=not train,
                 momentum=0.97,
                 epsilon=1e-3,
@@ -501,7 +547,7 @@ class QARepVGGBlock(nn.Module):
         )(x)
         if self.out_channels == in_channels and self.stride == 1:
             y = y + x
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
         )(y).astype(self.dtype)
         return apply_act(y, self.act)
@@ -555,7 +601,7 @@ class QARepVGGBlockV2(nn.Module):
             # identity + 3x3/stride-1 same-padded avg pool branches
             y = y + x
             y = y + nn.avg_pool(x, (3, 3), strides=(1, 1), padding=_pad(1), count_include_pad=True)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
         )(y).astype(self.dtype)
         return apply_act(y, self.act)
@@ -586,7 +632,7 @@ class RealVGGBlock(nn.Module):
             name="conv",
         )(x)
         if not self.deploy:
-            y = nn.BatchNorm(
+            y = TorchBatchNorm(
                 use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
             )(y).astype(self.dtype)
         return apply_act(y, self.act)
@@ -642,7 +688,7 @@ class LinearAddBlock(nn.Module):
         y = y + ScaleLayer(self.out_channels, False, self.conv_scale_init, self.dtype, name="scale_1x1")(y1)
         if in_channels == self.out_channels and self.stride == 1:
             y = y + ScaleLayer(self.out_channels, False, 1.0, self.dtype, name="scale_identity")(x)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.97, epsilon=1e-3, dtype=jnp.float32, name="bn"
         )(y).astype(self.dtype)
         return apply_act(y, self.act)
@@ -913,7 +959,7 @@ class DPBlock(nn.Module):
             kernel_init=conv_kernel_init, dtype=self.dtype, name="conv_dw_1",
         )(x)
         if not self.deploy:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                              dtype=jnp.float32, name="bn_1")(x).astype(self.dtype)
         x = jax.nn.hard_swish(x)
         x = QConv(
@@ -921,7 +967,7 @@ class DPBlock(nn.Module):
             kernel_init=conv_kernel_init, dtype=self.dtype, name="conv_pw_1",
         )(x)
         if not self.deploy:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
+            x = TorchBatchNorm(use_running_average=not train, momentum=0.97, epsilon=1e-3,
                              dtype=jnp.float32, name="bn_2")(x).astype(self.dtype)
         return jax.nn.hard_swish(x)
 
