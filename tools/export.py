@@ -54,6 +54,37 @@ def _export_openvino(onnx_path: str, output_dir: str | None) -> None:
     LOGGER.info(f"Exported OpenVINO IR to {out_dir}")
 
 
+def _export_tensorrt(onnx_path: str, output: str | None, dtype: str) -> None:
+    """ONNX -> TensorRT engine via the ``trtexec`` CLI, mirroring the
+    reference's builder flow (reference: deploy/TensorRT/onnx_to_trt.py:59-127
+    builds an engine with fp16/int8 BuilderFlags from the exported ONNX).
+    TensorRT is NVIDIA vendor tooling and not bundled; a clear error points
+    at it. INT8 engines should come from a QDQ ONNX (--quant; the reference's
+    QAT path, onnx_to_trt.py:69-80 with qat=True) — calibration-based PTQ
+    lives in tools/quantize.py on the TPU side."""
+    import shutil
+    import subprocess
+
+    trtexec = shutil.which("trtexec")
+    if trtexec is None:
+        raise SystemExit(
+            "`trtexec` not found on PATH — install TensorRT on the deploy "
+            "host (the engine must be built on the GPU that serves it) and "
+            f"re-run, or consume the ONNX file already written to {onnx_path}"
+        )
+    engine = output or (onnx_path.rsplit(".", 1)[0] + ".trt")
+    cmd = [trtexec, f"--onnx={onnx_path}", f"--saveEngine={engine}"]
+    if dtype == "fp16":
+        cmd.append("--fp16")
+    elif dtype == "int8":
+        cmd += ["--int8", "--fp16"]  # QDQ ranges drive int8; fp16 fallback
+    LOGGER.info(f"Running: {' '.join(cmd)}")
+    res = subprocess.run(cmd)
+    if res.returncode != 0:
+        raise SystemExit(f"trtexec failed with rc={res.returncode}")
+    LOGGER.info(f"Built TensorRT engine {engine}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--weights", type=str, required=True)
@@ -80,13 +111,22 @@ def main():
                         help="export a GSPMD artifact with the batch sharded "
                              "over an N-device data mesh (one artifact "
                              "serves a multi-chip batch)")
-    parser.add_argument("--format", choices=("stablehlo", "onnx", "openvino"),
+    parser.add_argument("--engine-dtype", choices=("fp32", "fp16", "int8"),
+                        default="fp16",
+                        help="--format tensorrt: engine precision (reference: "
+                             "deploy/TensorRT/onnx_to_trt.py --dtype)")
+    parser.add_argument("--format",
+                        choices=("stablehlo", "onnx", "openvino", "tensorrt"),
                         default="stablehlo",
                         help="onnx = model+decode opset-13 graph "
                              "(--end2end adds in-graph NonMaxSuppression); "
                              "openvino = ONNX then OpenVINO model-optimizer "
                              "IR via `mo` (reference: "
-                             "deploy/OpenVINO/export_openvino.py:23-94)")
+                             "deploy/OpenVINO/export_openvino.py:23-94); "
+                             "tensorrt = ONNX then a TRT engine via "
+                             "`trtexec` (pair with --end2end "
+                             "--trt-version 8; reference: "
+                             "deploy/TensorRT/onnx_to_trt.py:59-127)")
     parser.add_argument("--quant", action="store_true",
                         help="ONNX only: INT8 QDQ export from a PTQ/QAT "
                              "checkpoint (QuantizeLinear/DequantizeLinear "
@@ -150,13 +190,15 @@ def main():
                 head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
             )
 
-    if args.format in ("onnx", "openvino"):
+    if args.format in ("onnx", "openvino", "tensorrt"):
         import numpy as np
 
         from yolov6_tpu.export.onnx_export import export_onnx
 
-        openvino = args.format == "openvino"
-        output = args.weights.rsplit(".", 1)[0] + ".onnx" if openvino \
+        # vendor targets consume an intermediate ONNX next to the weights;
+        # --output then names the vendor artifact, not the ONNX
+        vendor = args.format in ("openvino", "tensorrt")
+        output = args.weights.rsplit(".", 1)[0] + ".onnx" if vendor \
             else (args.output or args.weights.rsplit(".", 1)[0] + ".onnx")
         in_dtype = jnp.uint8 if args.with_preprocess else jnp.float32
         if args.dynamic_batch and args.end2end:
@@ -262,8 +304,10 @@ def main():
                 )
                 LOGGER.info(f"Round-trip OK (numpy interpreter matches JAX); "
                             f"output {outs[0].shape}")
-        if openvino:
+        if args.format == "openvino":
             _export_openvino(output, args.output)
+        elif args.format == "tensorrt":
+            _export_tensorrt(output, args.output, args.engine_dtype)
         return
 
     output = args.output or args.weights.rsplit(".", 1)[0] + ".stablehlo"
