@@ -444,11 +444,13 @@ class Trainer:
             self.mean_loss = np.asarray(self._mean_loss_dev)
 
     def after_epoch(self):
-        """eval cadence + checkpointing (reference: engine.py:178-220)."""
-        if not self.main_process:
-            if self.orbax is not None:
-                self._orbax_save(did_eval=False)  # collective; flag broadcast from 0
-            return
+        """eval cadence + checkpointing (reference: engine.py:178-220).
+
+        The eval-cadence decision and eval_model() run on EVERY process —
+        in-training eval is collective (each host predicts its val shard,
+        the COCO gather inside eval_model needs all participants);
+        checkpoint writing and TB stay main-process (orbax saves are
+        themselves collective)."""
         remaining_epochs = self.max_epoch - 1 - self.epoch
         eval_interval = (
             self.args.eval_interval
@@ -464,6 +466,11 @@ class Trainer:
             self.eval_model()
             self.ap = self.evaluate_results[1]
             self.best_ap = max(self.ap, self.best_ap)
+
+        if not self.main_process:
+            if self.orbax is not None:
+                self._orbax_save(did_eval=did_eval)  # collective; flag broadcast from 0
+            return
 
         from yolov6_tpu.core.train_step import state_to_dict
 
