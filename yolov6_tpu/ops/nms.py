@@ -427,6 +427,15 @@ def non_max_suppression(
     candidates in fp32 — emitted scores are exact; only near-tied ranking
     at the max_nms boundary can differ (measured in docs/nms_fidelity.md).
     """
+    # Materialize the prediction tensor before any selection consumer reads
+    # it. When NMS is fused into the same jit as the model forward (the
+    # Evaler/Inferer single-dispatch design), XLA otherwise fuses the decode
+    # tail into EACH of the several selection consumers (score grid, row
+    # top-k, gathers) and recomputes it — measured +10.1 ms/b32 on S@640
+    # (40.0 fused vs 29.2 with the barrier = fwd 15.5 + NMS 14.4 exactly).
+    # Barriering a pre-sliced (boxes, obj, cls) tuple instead does NOT work
+    # (the re-concat re-fuses, measured 40.2). No-op for standalone NMS jits.
+    prediction = jax.lax.optimization_barrier(prediction)
     nc = prediction.shape[-1] - 5
     if method is None:
         if use_pallas:
