@@ -204,3 +204,17 @@ def test_nms_class_filter():
         jnp.asarray(preds), 0.3, 0.65, multi_label=True, class_mask=jnp.asarray(mask)
     )
     _check(preds, want, dets, valid)
+
+
+def test_nms_input_is_fusion_barriered():
+    """The prediction tensor must pass through optimization_barrier before
+    selection: without it, fusing NMS into the same jit as the model forward
+    recomputes the decode tail per selection consumer (+10 ms/b32 on S@640,
+    docs/nms_fidelity.md 'Fused-eval fusion penalty')."""
+    import jax
+
+    preds = jnp.zeros((1, 64, 11))
+    jaxpr = jax.make_jaxpr(
+        lambda p: non_max_suppression(p, 0.3, 0.65, multi_label=True)
+    )(preds)
+    assert "optimization_barrier" in str(jaxpr)
