@@ -62,6 +62,11 @@ def get_args_parser(add_help=True):
     parser.add_argument("--bf16-select", action="store_true",
                         help="rank NMS candidates on a bf16 score grid "
                              "(fp32 re-score; see docs/nms_fidelity.md)")
+    parser.add_argument("--row-select", choices=("grouped", "topk"),
+                        default="grouped",
+                        help="per-anchor class pre-reduction: 'grouped' "
+                             "(residue-group max, fastest) or 'topk' (exact "
+                             "per-anchor top-C; see docs/nms_fidelity.md)")
     parser.add_argument("--do_pr_metric", action="store_true")
     parser.add_argument("--plot_curve", default=True,
                         type=lambda s: s.lower() not in ("false", "0", "no"),
@@ -98,6 +103,7 @@ def run(
     artifact=None,
     max_nms=8192,
     bf16_select=False,
+    row_select="grouped",
 ):
     """Evaluate a model; mirrors reference tools/eval.py:run (:88-159)."""
     Evaler.check_task(task)
@@ -113,7 +119,7 @@ def run(
     evaler = Evaler(
         data, batch_size, img_size, conf_thres, iou_thres, half, save_dir,
         shrink_size, infer_on_rect, verbose, specific_shape, height, width,
-        max_nms=max_nms, bf16_select=bf16_select,
+        max_nms=max_nms, bf16_select=bf16_select, row_select=row_select,
         do_coco_metric=do_coco_metric, do_pr_metric=do_pr_metric,
         plot_curve=plot_curve, plot_confusion_matrix=plot_confusion_matrix,
     )
@@ -182,6 +188,7 @@ def main(args):
         specific_shape=args.specific_shape, height=args.height, width=args.width,
         artifact=args.artifact, max_nms=args.max_nms,
         bf16_select=args.bf16_select,
+        row_select=args.row_select,
     )
 
 

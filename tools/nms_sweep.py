@@ -168,6 +168,9 @@ def main():
                          "in one process (amortizes scene gen + baseline)")
     ap.add_argument("--approx-only", action="store_true",
                     help="skip the exact-top-k arm of each config")
+    ap.add_argument("--row-select", choices=("grouped", "topk"),
+                    default="grouped",
+                    help="per-anchor pre-reduction algorithm")
     ap.add_argument("--bf16-select", action="store_true",
                     help="rank candidate selection on a bf16 score grid "
                          "(fp32 re-score of the selected candidates)")
@@ -213,6 +216,7 @@ def main():
                 max_nms=max_nms, multi_label=True, exact_topk=exact,
                 method=args.method,
                 anchor_topc=args.anchor_topc if topc is None else topc,
+                row_select=args.row_select,
                 tile=args.tile[0] if tile is None else tile,
                 recall_target=args.recall_target,
                 class_cap=args.class_cap,
@@ -236,6 +240,7 @@ def main():
                     "scene": scene,
                     "method": args.method or "auto",
                     "anchor_topc": args.anchor_topc,
+                    "row_select": args.row_select,
                     "tile": tile,
                     "recall_target": args.recall_target,
                     "class_cap": args.class_cap,
@@ -256,6 +261,7 @@ def main():
                                 max_nms=_max_nms, multi_label=True,
                                 exact_topk=_exact, method=args.method,
                                 anchor_topc=args.anchor_topc,
+                                row_select=args.row_select,
                                 tile=_tile,
                                 recall_target=args.recall_target,
                                 class_cap=args.class_cap,
@@ -278,6 +284,7 @@ def main():
                         _select_candidates, conf_thres=0.03, max_nms=max_nms,
                         multi_label=True, agnostic=False, class_mask=None,
                         exact_topk=exact, anchor_topc=args.anchor_topc,
+                        row_select=args.row_select,
                         recall_target=args.recall_target,
                         bf16_select=args.bf16_select,
                     )

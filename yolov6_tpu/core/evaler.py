@@ -45,6 +45,7 @@ class Evaler:
         max_det: int = 300,
         max_nms: int = 8192,
         bf16_select: bool = False,
+        row_select: str = "grouped",
         do_coco_metric: bool = True,
         do_pr_metric: bool = False,
         plot_curve: bool = False,
@@ -74,6 +75,7 @@ class Evaler:
         # bf16 candidate-ranking (fp32 re-score): opt-in until the mAP
         # impact is measured on real data (docs/nms_fidelity.md)
         self.bf16_select = bf16_select
+        self.row_select = row_select
         self.is_coco = data_dict.get("is_coco", False)
         self.ids = coco80_to_coco91_class() if self.is_coco else list(range(1000))
         self.class_names = tuple(data_dict.get("names", ()) or ())
@@ -112,6 +114,7 @@ class Evaler:
                 preds, self.conf_thres, self.iou_thres, max_det=self.max_det,
                 max_nms=self.max_nms, multi_label=True,
                 bf16_select=self.bf16_select,
+                row_select=self.row_select,
             )
 
         def _forward(variables, imgs_u8):
@@ -411,6 +414,7 @@ class Evaler:
                 fwd(variables, x), self.conf_thres, self.iou_thres, max_det=self.max_det,
                 max_nms=self.max_nms, multi_label=True,
                 bf16_select=self.bf16_select,
+                row_select=self.row_select,
             )
 
         def timed(fn):

@@ -57,12 +57,13 @@ def _single_image_nms(
     anchor_topc: int = 8,
     recall_target: float = 0.95,
     bf16_select: bool = False,
+    row_select: str = "grouped",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """pred [A, 5+nc] -> (detections [max_det, 6], valid [max_det]).
     XLA-loop fallback path (non-TPU backends)."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
         pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-        exact_topk, anchor_topc, recall_target, bf16_select,
+        exact_topk, anchor_topc, recall_target, bf16_select, row_select,
     )
     cand_valid = top_scores > conf_thres
 
@@ -277,12 +278,12 @@ def _emit_topk_kept(cand_boxes, scores, cls_idx, kept, max_det):
 def _single_image_nms_tiled(
     pred, conf_thres, iou_thres, max_det, max_nms, multi_label, agnostic,
     class_mask, exact_topk=False, anchor_topc=8, tile=512,
-    recall_target=0.95, bf16_select=False,
+    recall_target=0.95, bf16_select=False, row_select="grouped",
 ):
     """Tiled exact-greedy path: same keep-set as _single_image_nms."""
     cand_boxes, nms_boxes, top_scores, cls_idx = _select_candidates(
         pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
-        exact_topk, anchor_topc, recall_target, bf16_select,
+        exact_topk, anchor_topc, recall_target, bf16_select, row_select,
     )
     kept = _tiled_keep(nms_boxes, top_scores, iou_thres, max_det=max_det,
                        tile=tile)
@@ -292,17 +293,32 @@ def _single_image_nms_tiled(
 def _select_candidates(
     pred, conf_thres, max_nms, multi_label, agnostic, class_mask,
     exact_topk=False, anchor_topc=8, recall_target=0.95, bf16_select=False,
+    row_select="grouped",
 ):
     """Single-image candidate selection: (raw_boxes [K,4], nms_boxes [K,4],
     scores [K], cls [K]). Scores are zeroed below conf_thres.
 
     The max_nms prefilter uses approx_max_k by default (TPU-efficient
     bucketed reduction); exact_topk forces lax.top_k. In the multi-label
-    path, ``anchor_topc`` first reduces each anchor to its top-C classes
-    (a cheap vectorized row top-k) so the global top-k runs over A*C
+    path, a per-anchor pre-reduction first shrinks each anchor's nc class
+    scores to ``anchor_topc`` survivors so the global top-k runs over A*C
     instead of A*nc elements — exact whenever no anchor has more than C
     classes above conf_thres (real detector heads are far below this; the
-    reference keeps all A*nc, utils/nms.py:76-77). 0 disables.
+    reference keeps all A*nc, utils/nms.py:76-77). 0 disables. Two
+    pre-reduction algorithms (``row_select``):
+
+      - 'grouped' (default): classes are grouped by c % C via a pure
+        reshape+transpose (NO gather) and each group keeps its max —
+        a 2-pass VPU reduction instead of lax.top_k's ~28-stage sort
+        network over the padded-to-128 class lanes (measured 10.6 vs
+        15.9 ms/b32 full-NMS at the eval protocol, docs/nms_fidelity.md).
+        Keeps ≤1 class per residue group rather than the true top-C:
+        loses a candidate only when two same-anchor classes with
+        c ≡ c' (mod C) both clear conf AND rank into the global top
+        max_nms — measured 1.000 keep-set agreement on both synthetic
+        scene families.
+      - 'topk': exact per-anchor top-C via lax.top_k (the conservative
+        superset of 'grouped'; ~5 ms/b32 slower).
 
     ``bf16_select`` ranks candidates on a bfloat16 score grid — the [A, nc]
     grid is the selection phase's dominant HBM traffic (86 MB/b32 fp32 at
@@ -314,6 +330,7 @@ def _select_candidates(
     exact cap is measured in docs/nms_fidelity.md (tools/nms_sweep.py)."""
     nc = pred.shape[-1] - 5
     boxes = xywh2xyxy(pred[:, :4])
+    cand_boxes = None  # set by the packed-gather branch, else boxes[box_idx]
     sel_dtype = jnp.bfloat16 if bf16_select else jnp.float32
     scores = pred[:, 5:].astype(sel_dtype) * pred[:, 4:5].astype(sel_dtype)
     if class_mask is not None:
@@ -328,7 +345,25 @@ def _select_candidates(
 
     if multi_label and nc > 1:
         if 0 < anchor_topc < nc:
-            row_scores, row_cls = jax.lax.top_k(scores, anchor_topc)  # [A,C]
+            if row_select == "grouped":
+                # group classes by residue c % C with a reshape+transpose
+                # (class c sits at (i=c//C, j=c%C) of [A, W, C]); keep each
+                # group's max. Zero-pad when C doesn't divide nc — padded
+                # cells are below conf and their (>= nc) class ids only
+                # ever flow into zero-score (invalid) candidate rows.
+                A = scores.shape[0]
+                n_groups = anchor_topc
+                width = -(-nc // n_groups)
+                padded = n_groups * width - nc
+                sc = jnp.pad(scores, ((0, 0), (0, padded))) if padded else scores
+                grid = sc.reshape(A, width, n_groups).transpose(0, 2, 1)
+                row_scores = jnp.max(grid, axis=-1)  # [A, C]
+                local = jnp.argmax(grid, axis=-1)    # [A, C] in-group index
+                row_cls = (
+                    local * n_groups + jnp.arange(n_groups)[None, :]
+                ).astype(jnp.float32)
+            else:
+                row_scores, row_cls = jax.lax.top_k(scores, anchor_topc)  # [A,C]
             flat = row_scores.reshape(-1)
             flat = jnp.where(flat > conf_thres, flat, 0.0)
             top_scores, top_idx = _topk(flat, min(max_nms, flat.shape[0]))
@@ -343,7 +378,7 @@ def _select_candidates(
                  row_cls.reshape(-1, 1).astype(boxes.dtype)], axis=1
             )  # [A*C, 5]
             sel = packed[top_idx]
-            cand_boxes_packed = sel[:, :4]
+            cand_boxes = sel[:, :4]
             cls_idx = sel[:, 4].astype(jnp.float32)
         else:
             flat = scores.reshape(-1)
@@ -358,7 +393,8 @@ def _select_candidates(
         top_scores, box_idx = _topk(best, min(max_nms, best.shape[0]))
         cls_idx = cls[box_idx]
 
-    cand_boxes = boxes[box_idx]
+    if cand_boxes is None:
+        cand_boxes = boxes[box_idx]
     if bf16_select:
         # re-score the K selected candidates in fp32 from the raw head
         # outputs — emitted scores bit-match the fp32 path; bf16 only
@@ -380,7 +416,7 @@ def _select_candidates(
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "multi_label",
         "agnostic", "use_pallas", "exact_topk", "method", "anchor_topc",
-        "tile", "recall_target", "class_cap", "bf16_select",
+        "tile", "recall_target", "class_cap", "bf16_select", "row_select",
     ),
 )
 def non_max_suppression(
@@ -400,6 +436,7 @@ def non_max_suppression(
     recall_target: float = 0.95,
     class_cap: int = 256,
     bf16_select: bool = False,
+    row_select: str = "grouped",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched NMS over [b, A, 5+nc] predictions.
 
@@ -455,7 +492,7 @@ def non_max_suppression(
             conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
             agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
             anchor_topc=anchor_topc, recall_target=recall_target,
-            bf16_select=bf16_select,
+            bf16_select=bf16_select, row_select=row_select,
         )
         cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
             prediction.astype(jnp.float32)
@@ -489,7 +526,7 @@ def non_max_suppression(
             conf_thres=conf_thres, max_nms=max_nms, multi_label=multi_label,
             agnostic=agnostic, class_mask=class_mask, exact_topk=exact_topk,
             anchor_topc=anchor_topc, recall_target=recall_target,
-            bf16_select=bf16_select,
+            bf16_select=bf16_select, row_select=row_select,
         )
         cand_boxes, nms_boxes, scores, cls_idx = jax.vmap(sel)(
             prediction.astype(jnp.float32)
@@ -519,7 +556,7 @@ def non_max_suppression(
         exact_topk=exact_topk,
         anchor_topc=anchor_topc,
         recall_target=recall_target,
-        bf16_select=bf16_select,
+        bf16_select=bf16_select, row_select=row_select,
     )
     if method == "tiled":
         fn = partial(fn, tile=tile)
