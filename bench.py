@@ -151,8 +151,15 @@ def eval_nms_fps(model, variables, images, iters):
     return images.shape[0] * iters / dt
 
 
-def train_fps(batch, img, steps, max_labels=32):
-    """Steady-state full-train-step throughput for YOLOv6-S (bf16 compute)."""
+def train_fps(batch, img, steps, max_labels=32, training_mode=None):
+    """Steady-state full-train-step throughput for YOLOv6-S (bf16 compute).
+
+    training_mode='repopt' benches the RepOptimizer recipe (single-branch
+    RealVGG blocks + per-channel gradient masks, solver/repoptimizer.py —
+    the recommended TPU training mode, docs/tutorial_repopt.md). Mask
+    VALUES don't affect throughput, so unit CSLA scales stand in for a
+    hyper-search checkpoint.
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -164,8 +171,24 @@ def train_fps(batch, img, steps, max_labels=32):
     from yolov6_tpu.utils.config import Config
 
     cfg = Config.fromfile(find_config("yolov6s"))
+    if training_mode is not None:
+        cfg.training_mode = training_mode
     model = build_model(cfg, num_classes=80, deploy=False, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False)
+
+    grad_masks = None
+    if training_mode == "repopt":
+        from yolov6_tpu.solver.repoptimizer import (
+            find_repopt_blocks, generate_gradient_masks,
+        )
+
+        scales = {}
+        for path, sub in find_repopt_blocks(variables["params"]).items():
+            w = sub["conv"]["kernel"]
+            cin, cout = w.shape[2], w.shape[3]
+            ones = np.ones((cout,), np.float32)
+            scales[path] = (ones, ones, ones) if cin == cout else (ones, ones)
+        grad_masks = generate_gradient_masks(variables["params"], scales)
     head = cfg.model.head
     loss_fn = ComputeLoss(
         num_classes=80, ori_img_size=img, warmup_epoch=0,
@@ -233,6 +256,12 @@ def main():
             extras["s_train_imgs_s"] = round(train_fps(batch, img, steps=15), 2)
         except Exception as e:  # noqa: BLE001
             extras["s_train_imgs_s"] = f"error: {e}"
+        try:
+            extras["s_train_repopt_imgs_s"] = round(
+                train_fps(batch, img, steps=15, training_mode="repopt"), 2
+            )
+        except Exception as e:  # noqa: BLE001
+            extras["s_train_repopt_imgs_s"] = f"error: {e}"
         for small, key in (("yolov6n", "n_fwd_imgs_s"), ("yolov6l", "l_fwd_imgs_s")):
             try:
                 f, _ = fwd_decode_fps(small, batch, img, iters=30)
