@@ -145,6 +145,20 @@ def test_grouped_pads_indivisible_nc():
     assert outs["grouped"] == outs["topk"]
 
 
+def test_row_select_plumbing():
+    """--row-select reaches the Evaler and the eval CLI defaults to
+    'grouped' (the measured-fastest lossless configuration)."""
+    sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+    from tools.eval import get_args_parser
+    from yolov6_tpu.core.evaler import Evaler
+
+    args = get_args_parser().parse_args([])
+    assert args.row_select == "grouped"
+    ev = Evaler({"nc": 4, "names": list("abcd")}, row_select="topk",
+                data_parallel=False)
+    assert ev.row_select == "topk"
+
+
 def test_tiled_matches_loop_backend():
     """Exact keep-set identity between the tiled and sequential backends,
     including truncated caps and the multi-tile path (K=2048 -> 4 tiles)."""
