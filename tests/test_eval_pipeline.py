@@ -194,3 +194,53 @@ def test_eval_data_parallel_matches_single_device(synthetic_dataset, tmp_path):
         assert a["image_id"] == b["image_id"] and a["category_id"] == b["category_id"]
         np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-3)
         np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+
+
+def test_eval_pipeline_overlap_preserves_results(synthetic_dataset, tmp_path):
+    """predict_model's one-batch software pipeline (batch i+1 dispatched
+    before batch i's results are fetched) must produce exactly the results
+    of a synchronous per-batch loop, in the same order."""
+    import jax.numpy as jnp
+
+    data_dict = {"nc": 3, "names": ["a", "b", "c"], "is_coco": False, "val": synthetic_dataset}
+    loader, _ = create_dataloader(
+        synthetic_dataset, img_size=320, batch_size=2, data_dict=data_dict, task="val"
+    )
+    assert len(loader) >= 2  # pipelining only engages with >1 batch
+
+    evaler = Evaler(data_dict, batch_size=2, img_size=320, save_dir=str(tmp_path))
+
+    def infer(variables, imgs):
+        # deterministic function of the IMAGE CONTENT so a mixed-up
+        # batch<->metadata pairing in the pipeline would change the output
+        imgs = jnp.asarray(imgs, jnp.float32)
+        b = imgs.shape[0]
+        m = jnp.mean(imgs, axis=(1, 2, 3))
+        one = jnp.ones((b,), jnp.float32)
+        det = jnp.stack(
+            [4 * one, 4 * one, 40 + m, 40 + m, 0.5 * one, 0 * one], axis=-1
+        )
+        dets = jnp.zeros((b, 300, 6), jnp.float32).at[:, 0].set(det)
+        valid = jnp.zeros((b, 300), bool).at[:, 0].set(True)
+        return dets, valid
+
+    evaler._infer = infer
+    evaler.variables = None
+
+    class Shim:
+        num_classes = 3
+
+    got = evaler.predict_model(Shim(), loader, "val")
+
+    want = []
+    for imgs, labels, paths, shapes, n_valid in loader:
+        dets, valid = infer(None, evaler._device_put(imgs))
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        want.extend(
+            evaler.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
+        )
+    assert len(got) == len(want) > 0
+    for a, b in zip(got, want):
+        assert a["image_id"] == b["image_id"] and a["category_id"] == b["category_id"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], atol=1e-6)
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-7)

@@ -116,7 +116,8 @@ def main():
                         help="--format tensorrt: engine precision (reference: "
                              "deploy/TensorRT/onnx_to_trt.py --dtype)")
     parser.add_argument("--format",
-                        choices=("stablehlo", "onnx", "openvino", "tensorrt"),
+                        choices=("stablehlo", "onnx", "openvino", "tensorrt",
+                                 "torchscript"),
                         default="stablehlo",
                         help="onnx = model+decode opset-13 graph "
                              "(--end2end adds in-graph NonMaxSuppression); "
@@ -126,7 +127,10 @@ def main():
                              "tensorrt = ONNX then a TRT engine via "
                              "`trtexec` (pair with --end2end "
                              "--trt-version 8; reference: "
-                             "deploy/TensorRT/onnx_to_trt.py:59-127)")
+                             "deploy/TensorRT/onnx_to_trt.py:59-127); "
+                             "torchscript = traced torch graph for "
+                             "PNNX/NCNN (reference: "
+                             "deploy/NCNN/export_torchscript.py)")
     parser.add_argument("--quant", action="store_true",
                         help="ONNX only: INT8 QDQ export from a PTQ/QAT "
                              "checkpoint (QuantizeLinear/DequantizeLinear "
@@ -163,6 +167,16 @@ def main():
                              "--quant (int8 QDQ) and --end2end "
                              "(NonMaxSuppression requires fp32 inputs)")
 
+    if args.format == "torchscript" and (
+        args.end2end or args.dynamic_batch or args.half
+    ):
+        raise SystemExit(
+            "--format torchscript exports the plain model+decode graph "
+            "(the reference TorchScript/NCNN contract, "
+            "deploy/NCNN/export_torchscript.py) — it is incompatible with "
+            "--end2end, --dynamic-batch and --half"
+        )
+
     cfg = Config.fromfile(args.config)
     model = build_model(
         cfg, num_classes=args.num_classes, deploy=True,
@@ -190,14 +204,14 @@ def main():
                 head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
             )
 
-    if args.format in ("onnx", "openvino", "tensorrt"):
+    if args.format in ("onnx", "openvino", "tensorrt", "torchscript"):
         import numpy as np
 
         from yolov6_tpu.export.onnx_export import export_onnx
 
         # vendor targets consume an intermediate ONNX next to the weights;
         # --output then names the vendor artifact, not the ONNX
-        vendor = args.format in ("openvino", "tensorrt")
+        vendor = args.format in ("openvino", "tensorrt", "torchscript")
         output = args.weights.rsplit(".", 1)[0] + ".onnx" if vendor \
             else (args.output or args.weights.rsplit(".", 1)[0] + ".onnx")
         in_dtype = jnp.uint8 if args.with_preprocess else jnp.float32
@@ -308,6 +322,25 @@ def main():
             _export_openvino(output, args.output)
         elif args.format == "tensorrt":
             _export_tensorrt(output, args.output, args.engine_dtype)
+        elif args.format == "torchscript":
+            from yolov6_tpu.export.torch_export import export_torchscript
+
+            ts_out = args.output or (
+                args.weights.rsplit(".", 1)[0] + ".torchscript.pt"
+            )
+            traced = export_torchscript(data, (x_chk,), ts_out)
+            LOGGER.info(f"Exported TorchScript to {ts_out}")
+            if args.check:
+                import torch as _torch
+
+                from yolov6_tpu.export.onnx_numpy import OnnxRunner
+
+                got = traced(
+                    _torch.from_numpy(np.ascontiguousarray(x_chk))
+                ).numpy()
+                ref = OnnxRunner(data)(x_chk)[0]
+                np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+                LOGGER.info("Round-trip OK (TorchScript matches numpy oracle)")
         return
 
     output = args.output or args.weights.rsplit(".", 1)[0] + ".stablehlo"

@@ -237,25 +237,42 @@ class Evaler:
             confusion = ConfusionMatrix(nc=model.num_classes)
 
         n_batches = len(dataloader)
-        for bi, (imgs, labels, paths, shapes, n_valid) in enumerate(dataloader):
-            t1 = time.time()
-            imgs_dev = self._device_put(imgs)
-            dets, valid = self._infer(self.variables, imgs_dev)
-            dets = np.asarray(jax.device_get(dets))
-            valid = np.asarray(jax.device_get(valid))
-            elapsed = time.time() - t1
-            self.speed_result[0] += n_valid
-            self.speed_result[2] += elapsed  # combined device time
+        t_loop = time.time()
 
+        def drain(p):
+            """Fetch + post-process one in-flight batch."""
+            dets_dev, valid_dev, paths, shapes, labels, hw, n_valid = p
+            dets = np.asarray(jax.device_get(dets_dev))
+            valid = np.asarray(jax.device_get(valid_dev))
             pred_results.extend(
                 self.convert_to_coco_format(dets[:n_valid], valid[:n_valid], paths, shapes)
             )
             if self.do_pr_metric:
                 stats.extend(
-                    self._pr_stats(dets, valid, labels, imgs.shape[1:3], n_valid, iouv, confusion)
+                    self._pr_stats(dets, valid, labels, hw, n_valid, iouv, confusion)
                 )
+
+        # one-batch software pipeline: batch i+1's host->device transfer and
+        # device forward are dispatched (JAX dispatch is async) BEFORE batch
+        # i's results are fetched and post-processed on host, so transfer,
+        # compute and host postproc overlap (the reference's loop is fully
+        # synchronous per batch, evaler.py:100-137)
+        pending = None
+        for bi, (imgs, labels, paths, shapes, n_valid) in enumerate(dataloader):
+            imgs_dev = self._device_put(imgs)
+            dets_dev, valid_dev = self._infer(self.variables, imgs_dev)
+            self.speed_result[0] += n_valid
+            if pending is not None:
+                drain(pending)
+            pending = (dets_dev, valid_dev, paths, shapes, labels,
+                       imgs.shape[1:3], n_valid)
             if bi % 20 == 0:
                 LOGGER.info(f"eval batch {bi + 1}/{n_batches}")
+        if pending is not None:
+            drain(pending)
+        # combined device+host wall time over the pipelined loop (per-batch
+        # attribution is meaningless once stages overlap)
+        self.speed_result[2] += time.time() - t_loop
 
         if self.do_pr_metric and stats:
             self._finish_pr_metric(stats, model)
@@ -389,8 +406,12 @@ class Evaler:
         """Print per-image latency (reference: evaler.py:323-329)."""
         if task != "train":
             n = max(1, self.speed_result[0])
-            device_time = 1000 * self.speed_result[2] / n
-            LOGGER.info(f"Average device time (fwd+decode+NMS): {device_time:.2f} ms/img")
+            wall_time = 1000 * self.speed_result[2] / n
+            LOGGER.info(
+                "Average pipelined eval wall time (transfer+fwd+decode+NMS+"
+                f"host postproc, overlapped): {wall_time:.2f} ms/img — "
+                "use --task speed (measure_speed) for pure device latency"
+            )
 
     def measure_speed(self, batch_size: int = 32, iters: int = 20):
         """Phase-split device timing on synthetic input (the reference's
