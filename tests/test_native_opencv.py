@@ -1,0 +1,150 @@
+"""C++ OpenCV-DNN demo: build, run on an exported ONNX, match a Python
+mirror of the same postprocessing.
+
+Reference analog: deploy/ONNX/OpenCV/yolov6.cpp (C++ consumer of the ONNX
+export). The binary must parse the artifact with stock OpenCV, and its
+letterbox -> forward -> obj*cls threshold -> class-offset NMSBoxes chain
+must agree with the identical chain run from Python (same cv2 build), which
+pins the C++ decode/geometry rather than just "it ran".
+"""
+
+import os
+import os.path as osp
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+import conftest  # noqa: F401
+
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from yolov6_tpu.export.onnx_export import export_onnx  # noqa: E402
+from yolov6_tpu.models.yolo import build_model  # noqa: E402
+from yolov6_tpu.utils.config import Config  # noqa: E402
+
+NATIVE_DIR = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                      "yolov6_tpu", "native")
+SIZE, NC = 64, 8
+
+
+def _build_demo():
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    r = subprocess.run(["make", "-C", NATIVE_DIR, "opencv_demo"],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        pytest.skip(f"opencv demo does not build here: {r.stderr[-400:]}")
+    return osp.join(NATIVE_DIR, "yolov6_opencv_demo")
+
+
+@pytest.fixture(scope="module")
+def demo_setup(tmp_path_factory):
+    binary = _build_demo()
+    root = tmp_path_factory.mktemp("ocvdemo")
+
+    cfg = Config.fromfile("configs/yolov6n.py")
+    model = build_model(cfg, num_classes=NC, deploy=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)), train=False
+    )
+
+    def fwd(images):
+        head_out, _ = model.apply(variables, images, train=False)
+        return model.apply(variables, head_out, method=model.decode)
+
+    onnx_path = str(root / "model.onnx")
+    export_onnx(fwd, (jnp.zeros((1, SIZE, SIZE, 3)),), path=onnx_path,
+                input_names=["images"], output_names=["outputs"])
+
+    rng = np.random.default_rng(3)
+    img = np.kron(rng.integers(0, 255, (10, 8, 3), np.uint8),
+                  np.ones((10, 10, 1), np.uint8))  # 100x80, blocky
+    img_path = str(root / "scene.jpg")
+    cv2.imwrite(img_path, img)
+    return binary, onnx_path, img_path
+
+
+def _python_mirror(onnx_path, img_path, conf_thres, iou_thres, size):
+    """Same chain as opencv_dnn_demo.cc, in Python on the same cv2 build."""
+    bgr = cv2.imread(img_path, cv2.IMREAD_COLOR)
+    r = min(size / bgr.shape[0], size / bgr.shape[1])
+    new_w, new_h = round(bgr.shape[1] * r), round(bgr.shape[0] * r)
+    pad_x, pad_y = (size - new_w) // 2, (size - new_h) // 2
+    canvas = np.full((size, size, 3), 114, np.uint8)
+    canvas[pad_y:pad_y + new_h, pad_x:pad_x + new_w] = cv2.resize(
+        bgr, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    blob = (cv2.cvtColor(canvas, cv2.COLOR_BGR2RGB).astype(np.float32)
+            / 255.0)[None]
+
+    net = cv2.dnn.readNetFromONNX(onnx_path)
+    net.setInput(blob, "images")
+    out = net.forward()[0]  # [A, 5+nc]
+
+    obj = out[:, 4]
+    cls = out[:, 5:]
+    best = cls.argmax(1)
+    conf = obj * cls.max(1)
+    m = conf >= conf_thres
+    boxes, scores, ids = [], [], []
+    for row, c, b in zip(out[m], conf[m], best[m]):
+        w, h = row[2] / r, row[3] / r
+        x = (row[0] - pad_x) / r - w / 2
+        y = (row[1] - pad_y) / r - h / 2
+        boxes.append([float(x), float(y), float(w), float(h)])
+        scores.append(float(c))
+        ids.append(int(b))
+    shifted = [[b[0] + i * 8192.0, b[1] + i * 8192.0, b[2], b[3]]
+               for b, i in zip(boxes, ids)]
+    keep = cv2.dnn.NMSBoxes(shifted, scores, conf_thres, iou_thres)
+    keep = np.asarray(keep).reshape(-1)
+    return [(ids[k], scores[k],
+             (boxes[k][0], boxes[k][1],
+              boxes[k][0] + boxes[k][2], boxes[k][1] + boxes[k][3]))
+            for k in keep]
+
+
+def test_opencv_demo_matches_python_mirror(demo_setup):
+    binary, onnx_path, img_path = demo_setup
+    conf, iou = 0.003, 0.45
+
+    r = subprocess.run(
+        [binary, onnx_path, img_path, str(conf), str(iou), str(SIZE)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    dets = []
+    num_dets = None
+    for line in r.stdout.splitlines():
+        if line.startswith("det "):
+            fields = dict(kv.split("=") for kv in line[4:].split(" "))
+            box = tuple(float(v) for v in fields["box"].split(","))
+            dets.append((int(fields["class"]), float(fields["conf"]), box))
+        elif line.startswith("num_dets="):
+            num_dets = int(line.split("=")[1])
+    assert num_dets == len(dets)
+
+    want = _python_mirror(onnx_path, img_path, conf, iou, SIZE)
+    assert len(dets) == len(want) > 0
+    got_sorted = sorted(dets, key=lambda d: -d[1])
+    want_sorted = sorted(want, key=lambda d: -d[1])
+    for (gc, gs, gb), (wc, ws, wb) in zip(got_sorted, want_sorted):
+        assert gc == wc
+        np.testing.assert_allclose(gs, ws, atol=2e-4)
+        np.testing.assert_allclose(gb, wb, atol=0.15)
+
+
+def test_opencv_demo_draws_output(demo_setup, tmp_path):
+    binary, onnx_path, img_path = demo_setup
+    out_img = str(tmp_path / "vis.jpg")
+    r = subprocess.run(
+        [binary, onnx_path, img_path, "0.003", "0.45", str(SIZE), out_img],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert os.path.exists(out_img)
+    assert cv2.imread(out_img) is not None

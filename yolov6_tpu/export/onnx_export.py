@@ -126,6 +126,19 @@ class _Converter:
         for var, name in zip(jaxpr.invars, in_names):
             env[var] = name
 
+        # var use-counts (this scope) — peepholes that mutate producer nodes
+        # (conv-bias fusion) are only safe on single-consumer values
+        uses = getattr(self, "_uses", None)
+        if uses is None:
+            uses = self._uses = {}
+        for eqn_ in jaxpr.eqns:
+            for v in eqn_.invars:
+                if not hasattr(v, "val"):
+                    uses[v] = uses.get(v, 0) + 1
+        for v in jaxpr.outvars:
+            if not hasattr(v, "val"):
+                uses[v] = uses.get(v, 0) + 1
+
         for eqn in jaxpr.eqns:
             prim = eqn.primitive.name
             # call-like primitives: inline
@@ -162,20 +175,81 @@ class _Converter:
         return [read(v) for v in jaxpr.outvars]
 
     # --- elementwise ------------------------------------------------------
-    def _binop(self, onnx_op, args):
+    def _binop(self, onnx_op, args, eqn=None):
+        if eqn is not None:
+            args = [self._squeeze_const_ones(a, eqn, i) for i, a in enumerate(args)]
         return self.b.emit(onnx_op, args)[0]
 
+    def _squeeze_const_ones(self, name, eqn, idx):
+        """Drop leading 1-dims from a constant binop operand: ``(1,..,1,C)``
+        and ``(C,)`` broadcast identically in ONNX, but NCHW-centric eltwise
+        importers (OpenCV <= 4.6) only accept the trailing 1-D form. Safe
+        only when it cannot reduce the output rank (the OTHER operand
+        carries the full rank)."""
+        out_rank = len(eqn.outvars[0].aval.shape)
+        other_full = any(
+            len(getattr(v.aval, "shape", ())) == out_rank
+            for j, v in enumerate(eqn.invars)
+            if j != idx and not hasattr(v, "val")
+        )
+        if not other_full:
+            return name
+        arr = self._const_chain(name)
+        if arr is None or arr.ndim <= 1:
+            return name
+        sq = arr
+        while sq.ndim > 1 and sq.shape[0] == 1:
+            sq = sq[0]
+        if sq.shape == arr.shape:
+            return name
+        return self.b.const(np.ascontiguousarray(sq), "c")
+
     def _op_add(self, eqn, args):
-        return self._binop("Add", args)
+        fused = self._fuse_conv_bias(eqn, args)
+        if fused is not None:
+            return fused
+        return self._binop("Add", args, eqn)
+
+    def _fuse_conv_bias(self, eqn, args):
+        """Fold ``Transpose(Conv(x, w)) + bias_const`` into the Conv node's
+        optional B input. A per-channel bias broadcast over an NHWC tensor
+        trips NCHW-centric eltwise importers (OpenCV <= 4.6), and the fused
+        form is simply a smaller graph for every consumer. Only applied
+        when the conv activation has no other consumer."""
+        for i in (0, 1):
+            bias = self._const_chain(args[i])
+            if bias is None:
+                continue
+            other_var = eqn.invars[1 - i]
+            if hasattr(other_var, "val") or self._uses.get(other_var, 0) != 1:
+                continue
+            node = self.b.produced_by.get(args[1 - i])
+            if node is None or node.op_type != "Transpose":
+                continue
+            if list(node.attrs["perm"])[-1] != 1:  # channels must land last
+                continue
+            conv = self.b.produced_by.get(node.inputs[0])
+            if conv is None or conv.op_type != "Conv" or len(conv.inputs) != 2:
+                continue
+            out_shape = eqn.outvars[0].aval.shape
+            c = int(out_shape[-1])
+            b_ = np.asarray(bias)
+            if b_.size != c or b_.squeeze().ndim > 1:
+                continue
+            conv.inputs = list(conv.inputs) + [
+                self.b.const(b_.reshape(-1).astype(b_.dtype), "bias")
+            ]
+            return args[1 - i]
+        return None
 
     def _op_sub(self, eqn, args):
-        return self._binop("Sub", args)
+        return self._binop("Sub", args, eqn)
 
     def _op_mul(self, eqn, args):
-        return self._binop("Mul", args)
+        return self._binop("Mul", args, eqn)
 
     def _op_div(self, eqn, args):
-        return self._binop("Div", args)
+        return self._binop("Div", args, eqn)
 
     def _op_max(self, eqn, args):
         # max(x, 0) is Relu — friendlier to consumers than variadic Max
@@ -438,6 +512,29 @@ class _Converter:
         return out
 
     # --- matmul / conv / pool ------------------------------------------------
+    def _const_chain(self, name, depth: int = 6):
+        """Resolve `name` to a numpy array if it is an initializer or a
+        Transpose/Reshape/Identity chain over one (else None)."""
+        if name in self.b.initializers:
+            return _to_np(self.b.initializers[name].array)
+        if depth == 0:
+            return None
+        node = self.b.produced_by.get(name)
+        if node is None:
+            return None
+        if node.op_type == "Identity":
+            return self._const_chain(node.inputs[0], depth - 1)
+        if node.op_type == "Transpose":
+            arr = self._const_chain(node.inputs[0], depth - 1)
+            return None if arr is None else np.transpose(arr, node.attrs["perm"])
+        if node.op_type == "Reshape":
+            arr = self._const_chain(node.inputs[0], depth - 1)
+            shape = self._const_chain(node.inputs[1], depth - 1)
+            if arr is None or shape is None:
+                return None
+            return arr.reshape([int(s) for s in shape])
+        return None
+
     def _op_dot_general(self, eqn, args):
         (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
         if lb or rb:
@@ -453,8 +550,21 @@ class _Converter:
         if rnd > 2:
             k = int(rhs_aval.shape[rc[0]])
             rhs = self.b.reshape(rhs, (k, -1))
+        out_shape = tuple(int(s) for s in eqn.outvars[0].aval.shape)
+        lhs_const = self._const_chain(args[0])
+        if lhs_const is not None and self._const_chain(args[1]) is None:
+            # constant-LHS MatMul trips older importers (OpenCV <= 4.6 dnn
+            # supports only a constant RHS, parseMatMul): fold the lhs
+            # permutation in numpy and emit the transposed product
+            # L·R = (Rᵀ·Lᵀ)ᵀ with Lᵀ a plain [k, M] weight initializer.
+            L = np.transpose(lhs_const, lperm)
+            k = L.shape[-1]
+            lt = self.b.const(np.ascontiguousarray(L.reshape(-1, k).T), "wT")
+            r2 = self.b.transpose(rhs, [1, 0])          # [n, k]
+            out = self.b.emit("MatMul", [r2, lt])[0]    # [n, M]
+            out = self.b.transpose(out, [1, 0])         # [M, n]
+            return self.b.reshape(out, out_shape)
         out = self.b.emit("MatMul", [lhs, rhs])[0]
-        out_shape = eqn.outvars[0].aval.shape
         if rnd > 2 or len(out_shape) < 2:
             out = self.b.reshape(out, out_shape)
         return out
@@ -477,9 +587,14 @@ class _Converter:
         elif list(rhs_spec) != list(range(len(rhs_spec))):
             w_name = self.b.transpose(w_name, rhs_spec)
         pads = [int(lo) for lo, _ in p["padding"]] + [int(hi) for _, hi in p["padding"]]
+        # kernel_shape is redundant with the weight tensor but old importers
+        # (e.g. OpenCV 4.6's dnn) refuse Conv nodes without it
+        w_shape = eqn.invars[1].aval.shape
+        kernel_shape = [int(w_shape[rhs_spec[i]]) for i in range(2, len(w_shape))]
         out = self.b.emit(
             "Conv",
             [x, w_name],
+            kernel_shape=kernel_shape,
             strides=[int(s) for s in p["window_strides"]],
             pads=pads,
             dilations=[int(d) for d in p["rhs_dilation"]],
