@@ -339,3 +339,52 @@ def test_onnx_end2end_trt7_contract():
     assert types == [proto.INT32, proto.FLOAT, proto.FLOAT, proto.INT32]
     shapes = [sh for _, _, sh in m.outputs]
     assert shapes == [(2, 1), (2, 50, 4), (2, 50), (2, 50)]
+
+
+def test_onnx_conv_bias_fused_and_no_ones_broadcast():
+    """Exporter peepholes (OpenCV<=4.6 compatibility + smaller graphs):
+    conv biases ride the Conv node's B input (no Transpose->Add bias
+    pattern), no binop carries a (1,..,1,C) leading-ones constant, and
+    every MatMul keeps its constant on the RHS (parseMatMul contract)."""
+    fwd = _deploy_fwd("configs/yolov6n.py", img=64)
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    data = export_onnx(fwd, (jnp.asarray(x),),
+                       input_names=["images"], output_names=["outputs"])
+    model = parse_model(data)
+    consts = model.initializers
+    produced = {o: n for n in model.nodes for o in n.outputs}
+
+    def resolves_const(name, depth=6):
+        if name in consts:
+            return np.asarray(consts[name])
+        n = produced.get(name)
+        if n is None or depth == 0:
+            return None
+        if n.op_type == "Transpose":
+            a = resolves_const(n.inputs[0], depth - 1)
+            return None if a is None else np.transpose(a, n.attrs["perm"])
+        if n.op_type == "Reshape":
+            a = resolves_const(n.inputs[0], depth - 1)
+            s = resolves_const(n.inputs[1], depth - 1)
+            return None if a is None or s is None else a.reshape(
+                [int(v) for v in s])
+        return None
+
+    n_conv_with_bias = 0
+    for node in model.nodes:
+        if node.op_type == "Conv" and len(node.inputs) == 3:
+            n_conv_with_bias += 1
+            assert np.asarray(consts[node.inputs[2]]).ndim == 1
+        if node.op_type in ("Add", "Sub", "Mul", "Div"):
+            for i in node.inputs:
+                arr = resolves_const(i)
+                if arr is not None and arr.ndim > 1:
+                    # leading-ones consts must have been squeezed
+                    assert not (arr.ndim > 1 and arr.shape[0] == 1
+                                and np.prod(arr.shape[:-1]) == 1), (
+                        f"{node.op_type} carries ones-broadcast const "
+                        f"{arr.shape}")
+        if node.op_type == "MatMul":
+            assert resolves_const(node.inputs[0]) is None, \
+                "MatMul with constant LHS survived the swap rewrite"
+    assert n_conv_with_bias > 10  # deploy convs carry folded-BN biases
