@@ -87,6 +87,9 @@ def yolov6lite_l(weights=None, **kw):
     return _create("yolov6_lite/yolov6_lite_l", weights, img_size=320, **kw)
 
 
+_PREDICT_CACHE = {}
+
+
 def predict(model, variables, source, img_size: int = 640,
             conf_thres: float = 0.25, iou_thres: float = 0.45, max_det: int = 300):
     """One-shot inference on an image path/array; returns [n, 6] xyxy/conf/cls
@@ -103,10 +106,29 @@ def predict(model, variables, source, img_size: int = 640,
     img = letterbox(img_src, (img_size, img_size), auto=False)[0]
     img = np.ascontiguousarray(img[:, :, ::-1])[None]
 
+    # one jitted program per (model, thresholds): weights stay ARGUMENTS
+    # (no HLO-constant embedding — the M6/L6 axon caveat, see ROADMAP)
+    import jax
+
+    key = (id(model), conf_thres, iou_thres, max_det)
+    fn = _PREDICT_CACHE.get(key)
+    if fn is None:
+
+        @jax.jit
+        def fn(variables, x):
+            head_out, _ = model.apply(variables, x, train=False)
+            preds = decode_eval(
+                head_out, model.num_classes, model.strides,
+                model.use_dfl, model.reg_max,
+            )
+            return non_max_suppression(
+                preds, conf_thres, iou_thres, max_det=max_det
+            )
+
+        _PREDICT_CACHE[key] = fn
+
     x = jnp.asarray(img).astype(jnp.float32) / 255.0
-    head_out, _ = model.apply(variables, x, train=False)
-    preds = decode_eval(head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max)
-    dets, valid = non_max_suppression(preds, conf_thres, iou_thres, max_det=max_det)
+    dets, valid = fn(variables, x)
     dets = np.asarray(dets[0])[np.asarray(valid[0])]
     if len(dets):
         dets[:, :4] = Inferer.rescale(img.shape[1:3], dets[:, :4], img_src.shape[:2])
