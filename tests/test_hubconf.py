@@ -1,13 +1,27 @@
 """hubconf API: model loaders + one-shot predict (reference hubconf flow)."""
 
+import importlib.util
+import os.path as osp
+
 import numpy as np
 import pytest
 
 import conftest  # noqa: F401
 
 
+def _load_hubconf():
+    """Import THE REPO's hubconf by path: golden tests put /root/reference
+    on sys.path, whose own hubconf.py would otherwise shadow ours in
+    full-suite runs."""
+    path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "hubconf.py")
+    spec = importlib.util.spec_from_file_location("repo_hubconf", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_hubconf_predict_roundtrip():
-    import hubconf
+    hubconf = _load_hubconf()
 
     model, variables = hubconf.yolov6n(weights=None, num_classes=5)
     img = np.random.default_rng(0).integers(
@@ -34,7 +48,7 @@ def test_hubconf_predict_jit_carries_no_weight_constants():
     import jax
     import jax.numpy as jnp
 
-    import hubconf
+    hubconf = _load_hubconf()
 
     model, variables = hubconf.yolov6n(weights=None, num_classes=5)
     img = np.zeros((64, 64, 3), np.uint8)
