@@ -251,15 +251,47 @@ class _Converter:
     def _op_div(self, eqn, args):
         return self._binop("Div", args, eqn)
 
+    def _scalar_const(self, name):
+        arr = self._const_chain(name)
+        if arr is not None and arr.ndim == 0:
+            return arr
+        return None
+
     def _op_max(self, eqn, args):
-        # max(x, 0) is Relu — friendlier to consumers than variadic Max
-        for i, var in enumerate(eqn.invars):
-            if hasattr(var, "val") and np.ndim(var.val) == 0 and var.val == 0:
+        # max(x, 0) is Relu, max(x, c) is Clip(min=c) — friendlier to
+        # consumers than const-operand eltwise Max (OpenCV <= 4.6 rejects it)
+        for i in (0, 1):
+            c = self._scalar_const(args[i])
+            if c is None:
+                continue
+            if c == 0:
                 return self.b.emit("Relu", [args[1 - i]])[0]
+            return self._clip(eqn, args[1 - i], lo=c)
         return self._binop("Max", args)
 
     def _op_min(self, eqn, args):
+        # min(x, c) is Clip(max=c) (e.g. the relu6 in lite hard-swish)
+        for i in (0, 1):
+            c = self._scalar_const(args[i])
+            if c is None:
+                continue
+            return self._clip(eqn, args[1 - i], hi=c)
         return self._binop("Min", args)
+
+    def _clip(self, eqn, x, lo=None, hi=None):
+        """Clip with BOTH bounds present (OpenCV 4.6's parseClip rejects a
+        missing bound); the absent side becomes the dtype's finite extreme."""
+        dt = _np_dtype(eqn.outvars[0].aval)
+        if dt.kind == "f":
+            lo_v = np.asarray(lo if lo is not None else np.finfo(dt).min, dt)
+            hi_v = np.asarray(hi if hi is not None else np.finfo(dt).max, dt)
+        else:
+            lo_v = np.asarray(lo if lo is not None else np.iinfo(dt).min, dt)
+            hi_v = np.asarray(hi if hi is not None else np.iinfo(dt).max, dt)
+        return self.b.emit(
+            "Clip",
+            [x, self.b.const(lo_v, "clip"), self.b.const(hi_v, "clip")],
+        )[0]
 
     def _op_pow(self, eqn, args):
         return self._binop("Pow", args)
@@ -547,7 +579,10 @@ class _Converter:
         rperm = [rc[0]] + [i for i in range(rnd) if i != rc[0]]
         lhs = self.b.transpose(args[0], lperm)
         rhs = self.b.transpose(args[1], rperm)
-        if rnd > 2:
+        if rnd > 2 or rnd == 1:
+            # 2-D-ify the RHS: >2-D flattens free dims; 1-D (e.g. the DFL
+            # projection vector) becomes a [k, 1] column — MatMul layers in
+            # some runtimes (OpenCV dnn) require rank >= 2 weights
             k = int(rhs_aval.shape[rc[0]])
             rhs = self.b.reshape(rhs, (k, -1))
         out_shape = tuple(int(s) for s in eqn.outvars[0].aval.shape)
@@ -565,7 +600,7 @@ class _Converter:
             out = self.b.transpose(out, [1, 0])         # [M, n]
             return self.b.reshape(out, out_shape)
         out = self.b.emit("MatMul", [lhs, rhs])[0]
-        if rnd > 2 or len(out_shape) < 2:
+        if rnd > 2 or rnd == 1 or len(out_shape) < 2:
             out = self.b.reshape(out, out_shape)
         return out
 
