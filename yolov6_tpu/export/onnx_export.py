@@ -126,11 +126,12 @@ class _Converter:
         for var, name in zip(jaxpr.invars, in_names):
             env[var] = name
 
-        # var use-counts (this scope) — peepholes that mutate producer nodes
-        # (conv-bias fusion) are only safe on single-consumer values
-        uses = getattr(self, "_uses", None)
-        if uses is None:
-            uses = self._uses = {}
+        # var use-counts, strictly PER SCOPE: jax shares sub-jaxpr objects
+        # across repeated inlinings (identical blocks), so a global count
+        # would inflate shared vars and defeat the single-consumer
+        # peepholes (conv-bias fusion, clip composition)
+        prev_uses = getattr(self, "_uses", None)
+        uses = self._uses = {}
         for eqn_ in jaxpr.eqns:
             for v in eqn_.invars:
                 if not hasattr(v, "val"):
@@ -138,7 +139,12 @@ class _Converter:
         for v in jaxpr.outvars:
             if not hasattr(v, "val"):
                 uses[v] = uses.get(v, 0) + 1
+        try:
+            return self._run_eqns(jaxpr, read, write)
+        finally:
+            self._uses = prev_uses
 
+    def _run_eqns(self, jaxpr, read, write):
         for eqn in jaxpr.eqns:
             prim = eqn.primitive.name
             # call-like primitives: inline
@@ -266,7 +272,7 @@ class _Converter:
                 continue
             if c == 0:
                 return self.b.emit("Relu", [args[1 - i]])[0]
-            return self._clip(eqn, args[1 - i], lo=c)
+            return self._clip(eqn, args[1 - i], eqn.invars[1 - i], lo=c)
         return self._binop("Max", args)
 
     def _op_min(self, eqn, args):
@@ -275,22 +281,35 @@ class _Converter:
             c = self._scalar_const(args[i])
             if c is None:
                 continue
-            return self._clip(eqn, args[1 - i], hi=c)
+            return self._clip(eqn, args[1 - i], eqn.invars[1 - i], hi=c)
         return self._binop("Min", args)
 
-    def _clip(self, eqn, x, lo=None, hi=None):
+    def _clip(self, eqn, x, x_var, lo=None, hi=None):
         """Clip with BOTH bounds present (OpenCV 4.6's parseClip rejects a
-        missing bound); the absent side becomes the dtype's finite extreme."""
+        missing bound); the absent side becomes the dtype's finite extreme.
+        Consecutive clamps (min(max(x, lo), hi) — relu6, fake-quant) compose
+        into ONE Clip by tightening bounds."""
         dt = _np_dtype(eqn.outvars[0].aval)
-        if dt.kind == "f":
-            lo_v = np.asarray(lo if lo is not None else np.finfo(dt).min, dt)
-            hi_v = np.asarray(hi if hi is not None else np.finfo(dt).max, dt)
-        else:
-            lo_v = np.asarray(lo if lo is not None else np.iinfo(dt).min, dt)
-            hi_v = np.asarray(hi if hi is not None else np.iinfo(dt).max, dt)
+        info = np.finfo(dt) if dt.kind == "f" else np.iinfo(dt)
+        lo_v = float(lo) if lo is not None else float(info.min)
+        hi_v = float(hi) if hi is not None else float(info.max)
+        prev = self.b.produced_by.get(x)
+        if (
+            prev is not None and prev.op_type == "Clip"
+            and len(prev.inputs) == 3
+            and not hasattr(x_var, "val")
+            and self._uses.get(x_var, 0) == 1
+        ):
+            plo = self._scalar_const(prev.inputs[1])
+            phi = self._scalar_const(prev.inputs[2])
+            if plo is not None and phi is not None:
+                lo_v = max(lo_v, float(plo))
+                hi_v = min(hi_v, float(phi))
+                x = prev.inputs[0]
         return self.b.emit(
             "Clip",
-            [x, self.b.const(lo_v, "clip"), self.b.const(hi_v, "clip")],
+            [x, self.b.const(np.asarray(lo_v, dt), "clip"),
+             self.b.const(np.asarray(hi_v, dt), "clip")],
         )[0]
 
     def _op_pow(self, eqn, args):

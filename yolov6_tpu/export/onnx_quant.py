@@ -141,15 +141,27 @@ def rewrite_qdq(m: ParsedModel, num_bits: int = 8) -> int:
         if rnd is None or rnd.op_type != "Round":
             continue
         mn = prod.get(rnd.inputs[0])
-        if mn is None or mn.op_type != "Min":
+        if mn is None:
             continue
-        hi_name, mx_out = split_const(mn)
-        mx = prod.get(mx_out) if mx_out else None
-        if hi_name is None or mx is None or mx.op_type != "Max":
-            continue
-        lo_name, div_out = split_const(mx)
-        div = prod.get(div_out) if div_out else None
-        if lo_name is None or div is None or div.op_type != "Div":
+        if mn.op_type == "Clip":
+            # the exporter's canonical clamp form: Clip(Div(x,s), lo, hi)
+            if len(mn.inputs) < 3 or not mn.inputs[1] or not mn.inputs[2]:
+                continue
+            lo_name, hi_name = mn.inputs[1], mn.inputs[2]
+            div = prod.get(mn.inputs[0])
+            if div is None or div.op_type != "Div":
+                continue
+        elif mn.op_type == "Min":
+            # legacy eltwise form: Min(Max(Div(x,s), lo), hi)
+            hi_name, mx_out = split_const(mn)
+            mx = prod.get(mx_out) if mx_out else None
+            if hi_name is None or mx is None or mx.op_type != "Max":
+                continue
+            lo_name, div_out = split_const(mx)
+            div = prod.get(div_out) if div_out else None
+            if lo_name is None or div is None or div.op_type != "Div":
+                continue
+        else:
             continue
         if const_scalar(hi_name) != qmax or const_scalar(lo_name) != -qmax - 1:
             continue
