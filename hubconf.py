@@ -87,7 +87,8 @@ def yolov6lite_l(weights=None, **kw):
     return _create("yolov6_lite/yolov6_lite_l", weights, img_size=320, **kw)
 
 
-_PREDICT_CACHE = {}
+_PREDICT_CACHE = {}  # LRU, capped: each entry pins a model + compiled program
+_PREDICT_CACHE_MAX = 8
 
 
 def predict(model, variables, source, img_size: int = 640,
@@ -111,7 +112,7 @@ def predict(model, variables, source, img_size: int = 640,
     import jax
 
     key = (id(model), conf_thres, iou_thres, max_det)
-    fn = _PREDICT_CACHE.get(key)
+    fn = _PREDICT_CACHE.pop(key, None)
     if fn is None:
 
         @jax.jit
@@ -125,7 +126,9 @@ def predict(model, variables, source, img_size: int = 640,
                 preds, conf_thres, iou_thres, max_det=max_det
             )
 
-        _PREDICT_CACHE[key] = fn
+    _PREDICT_CACHE[key] = fn  # re-insert = move to MRU position
+    while len(_PREDICT_CACHE) > _PREDICT_CACHE_MAX:
+        _PREDICT_CACHE.pop(next(iter(_PREDICT_CACHE)))
 
     x = jnp.asarray(img).astype(jnp.float32) / 255.0
     dets, valid = fn(variables, x)

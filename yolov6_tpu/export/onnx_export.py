@@ -41,6 +41,7 @@ class _Builder:
         self._n = 0
         self._const_cache: Dict[tuple, str] = {}
         self.produced_by: Dict[str, op.Node] = {}
+        self.n_consumers: Dict[str, int] = {}
 
     def name(self, hint: str = "t") -> str:
         self._n += 1
@@ -52,6 +53,8 @@ class _Builder:
         node = op.Node(op_type, list(inputs), outs, name=outs[0], attrs=attrs,
                        domain=domain)
         self.nodes.append(node)
+        for i in inputs:
+            self.n_consumers[i] = self.n_consumers.get(i, 0) + 1
         for o in outs:
             self.produced_by[o] = node
         return outs
@@ -232,10 +235,19 @@ class _Converter:
             node = self.b.produced_by.get(args[1 - i])
             if node is None or node.op_type != "Transpose":
                 continue
+            # _uses is per-jaxpr-scope; a value produced inside an inlined
+            # sub-jaxpr may already have emitted consumers this scope never
+            # counted. Require graph-level fan-out: no node consumes the
+            # Transpose output yet (this Add is its only pending use), and
+            # the Conv output feeds only the Transpose.
+            if self.b.n_consumers.get(args[1 - i], 0) != 0:
+                continue
             if list(node.attrs["perm"])[-1] != 1:  # channels must land last
                 continue
             conv = self.b.produced_by.get(node.inputs[0])
             if conv is None or conv.op_type != "Conv" or len(conv.inputs) != 2:
+                continue
+            if self.b.n_consumers.get(node.inputs[0], 0) != 1:
                 continue
             out_shape = eqn.outvars[0].aval.shape
             c = int(out_shape[-1])
@@ -303,9 +315,13 @@ class _Converter:
             plo = self._scalar_const(prev.inputs[1])
             phi = self._scalar_const(prev.inputs[2])
             if plo is not None and phi is not None:
-                lo_v = max(lo_v, float(plo))
-                hi_v = min(hi_v, float(phi))
-                x = prev.inputs[0]
+                clo = max(lo_v, float(plo))
+                chi = min(hi_v, float(phi))
+                # Disjoint ranges don't compose: Clip(Clip(x,0,6),10,inf)=10
+                # but Clip(x,10,6)=6 under min(max(..)) semantics.
+                if clo <= chi:
+                    lo_v, hi_v = clo, chi
+                    x = prev.inputs[0]
         return self.b.emit(
             "Clip",
             [x, self.b.const(np.asarray(lo_v, dt), "clip"),

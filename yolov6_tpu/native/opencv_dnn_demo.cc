@@ -116,8 +116,12 @@ int main(int argc, char** argv) {
   }
 
   // Per-class NMS via the class-offset trick (suppression graph stays
-  // block-diagonal by class; reference utils/nms.py:94-96).
-  const double kOffset = 8192.0;
+  // block-diagonal by class; reference utils/nms.py:94-96). Boxes are
+  // already in original-image pixels here, so the offset must exceed the
+  // source dimensions — not just the letterbox size — or adjacent classes
+  // of very large images could overlap across blocks.
+  const double kOffset =
+      std::max(8192.0, (double)std::max(bgr.cols, bgr.rows) + 1.0);
   std::vector<cv::Rect2d> shifted(boxes);
   for (size_t i = 0; i < shifted.size(); ++i) {
     shifted[i].x += class_ids[i] * kOffset;
