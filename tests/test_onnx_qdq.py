@@ -112,3 +112,85 @@ def test_qdq_dynamic_batch_compose():
     data = encode_parsed(m)
     got = OnnxRunner(data)(x2)[0]
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-4)
+
+
+def test_remove_qdq_and_calib_cache(tmp_path):
+    """TRT implicit-int8 companions (reference tools/qat/onnx_utils.py:
+    onnx_remove_qdqnode + save_calib_cache_file): stripping QDQ must leave a
+    runnable plain-fp32 graph, and the cache must follow the documented TRT
+    layout — header line, then `tensor: <big-endian float32 hex>` rows whose
+    values are the QDQ activation scales (amax / 127)."""
+    import struct
+
+    from yolov6_tpu.export.onnx_quant import remove_qdq, save_calib_cache_file
+
+    amax = 3.0
+
+    def fn(x):
+        q = fake_quant(x, jnp.float32(amax))
+        return q * 2.0 + 1.0
+
+    x = np.random.default_rng(0).normal(0, 2, (4, 64)).astype(np.float32)
+    raw = export_onnx(fn, (jnp.asarray(x),))
+    qdq = to_qdq(raw)
+
+    plain, act_map = remove_qdq(qdq)
+    ops = _ops(plain)
+    assert ops.get("QuantizeLinear", 0) == 0
+    assert ops.get("DequantizeLinear", 0) == 0
+    # one activation scale, exactly amax/qmax, big-endian float32 hex
+    assert len(act_map) == 1
+    (name, hexv), = act_map.items()
+    val = struct.unpack("!f", bytes.fromhex(hexv))[0]
+    assert val == np.float32(amax / 127.0)
+    # the stripped graph runs and equals the UNQUANTIZED math
+    got = OnnxRunner(plain)(x)[0]
+    np.testing.assert_allclose(got, x * 2.0 + 1.0, atol=1e-6, rtol=1e-6)
+
+    cache = tmp_path / "calib.cache"
+    save_calib_cache_file(str(cache), act_map)
+    lines = cache.read_text().splitlines()
+    assert lines[0] == "TRT-8XXX-EntropyCalibration2"
+    assert lines[1] == f"{name}: {hexv}"
+    assert len(hexv) == 8 and all(c in "0123456789abcdef" for c in hexv)
+
+
+def test_remove_qdq_model_weights_roundtrip():
+    """Per-channel int8 weight DQ folds back to fp32 initializers; the
+    stripped conv graph matches the QDQ graph up to activation-quant noise."""
+    from yolov6_tpu.export.onnx_quant import remove_qdq
+
+    cfg = Config.fromfile("configs/yolov6n.py")
+    model = build_model(cfg, num_classes=8, deploy=True)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    try:
+        set_quant_mode(True, calibrating=True)
+        _, muts = model.apply(v, jnp.asarray(x), train=False, mutable=["quant"])
+        variables = quantize_variables(dict(v), 8)
+        variables["quant"] = muts["quant"]
+        set_quant_mode(True)
+
+        def fwd(img):
+            head_out, _ = model.apply(variables, img, train=False)
+            return model.apply(variables, head_out, method=model.decode)
+
+        raw = export_onnx(fwd, (jnp.asarray(x),))
+    finally:
+        set_quant_mode(False)
+    qdq = to_qdq(raw)
+    plain, act_map = remove_qdq(qdq)
+    ops = _ops(plain)
+    assert ops.get("QuantizeLinear", 0) == 0
+    assert ops.get("DequantizeLinear", 0) == 0
+    assert ops["Conv"] == _ops(qdq)["Conv"]
+    # one cache row per DISTINCT quantized tensor: a tensor feeding several
+    # QDQ consumers max-merges into one entry (reference onnx_utils.py:215-220)
+    q_inputs = {n.inputs[0] for n in parse_model(qdq).nodes
+                if n.op_type == "QuantizeLinear"}
+    assert len(act_map) == len(q_inputs)
+    assert len(act_map) <= _ops(qdq)["QuantizeLinear"]
+    want = OnnxRunner(qdq)(x)[0]
+    got = OnnxRunner(plain)(x)[0]
+    # same int8 weights, fp32 activations: close but not identical
+    np.testing.assert_allclose(got, want, atol=0.1, rtol=0.2)

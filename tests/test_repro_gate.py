@@ -50,7 +50,10 @@ def test_gate_tolerance_accounting(fake_coco, tmp_path, monkeypatch):
 
     def fake_run(data, weights=None, config=None, **kw):
         name = osp.splitext(osp.basename(weights))[0]
-        return (0.5, fake_maps[name]), []
+        m = fake_maps[name]
+        if kw.get("max_nms") == 30000:  # the exact-protocol second eval
+            m -= 0.001
+        return (0.5, m), []
 
     # the gate loads OUR tools/eval.py by explicit path (a bare tools.eval
     # import can resolve to the reference repo when it is on sys.path);
@@ -67,6 +70,8 @@ def test_gate_tolerance_accounting(fake_coco, tmp_path, monkeypatch):
     by_model = {r["model"]: r for r in rows}
     assert by_model["yolov6n"]["status"].startswith("PASS")
     assert by_model["yolov6s"]["status"].startswith("FAIL")
+    # approx-vs-exact NMS delta is measured and reported per model
+    assert by_model["yolov6n"]["nms_delta"] == pytest.approx(0.1, abs=1e-6)
 
     args.models = ["yolov6n"]
     assert gate.main(args) == 0

@@ -1,0 +1,153 @@
+"""SPMD parity for the REAL training modes (not just the easy one):
+ATSS warmup, DFL/reg_max=16 (all M/L training), fuse-AB, and distill-NS
+must produce the same loss trajectory over the 8-device mesh as on a single
+device — the TPU-native analog of DDP gradient-allreduce correctness
+(reference core/engine.py:463-466, loss*world_size :171-172)."""
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # each mode compiles its step twice on 1 core
+
+import conftest
+
+import jax
+import jax.numpy as jnp
+
+from yolov6_tpu.core.train_step import create_train_state, make_train_step
+from yolov6_tpu.losses.loss import ComputeLoss
+from yolov6_tpu.losses.loss_distill_ns import ComputeLossDistillNS
+from yolov6_tpu.losses.loss_fuseab import ComputeLossAB
+from yolov6_tpu.models.yolo import build_model
+from yolov6_tpu.parallel.mesh import create_mesh, replicate_state, shard_batch
+from yolov6_tpu.solver.build import build_param_groups
+from yolov6_tpu.utils.config import Config
+
+IMG, NC, BATCH, MAX_GT = 64, 3, 8, 6
+SOLVER = dict(
+    lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
+    warmup_epochs=3.0, warmup_momentum=0.8, warmup_bias_lr=0.1,
+    lr_scheduler="Cosine",
+)
+
+
+def _batch():
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3), np.uint8))
+    targets = np.full((BATCH, MAX_GT, 5), -1.0, np.float32)
+    targets[..., 1:] = 0.0
+    for i in range(BATCH):
+        targets[i, 0] = [i % NC, 0.5, 0.5, 0.4, 0.4]
+        targets[i, 1] = [(i + 1) % NC, 0.25, 0.3, 0.2, 0.3]
+    return images, jnp.asarray(targets)
+
+
+def _run_trajectory(make_setup, n_steps, sharded, use_atss, epoch=0.0):
+    step_fn, state = make_setup()
+    images, targets = _batch()
+    if sharded:
+        assert jax.device_count() >= 8
+        mesh = create_mesh()
+        state = replicate_state(mesh, state)
+        images, targets = shard_batch(mesh, (images, targets))
+    losses = []
+    for _ in range(n_steps):
+        state, loss, _ = step_fn(
+            state, images, targets, jnp.asarray(epoch), use_atss=use_atss)
+        losses.append(float(loss))
+    return losses
+
+
+def _assert_spmd_parity(make_setup, use_atss=False, epoch=0.0, n_steps=3):
+    l_single = _run_trajectory(make_setup, n_steps, False, use_atss, epoch)
+    l_shard = _run_trajectory(make_setup, n_steps, True, use_atss, epoch)
+    assert np.isfinite(l_single).all() and np.isfinite(l_shard).all()
+    np.testing.assert_allclose(l_single, l_shard, rtol=2e-3)
+
+
+def test_spmd_parity_atss_warmup():
+    """ATSS assigner (epoch < warmup) under the mesh == single device."""
+    def setup():
+        cfg = Config.fromfile("/root/repo/configs/yolov6n.py")
+        model = build_model(cfg, num_classes=NC, deploy=False)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+        loss_fn = ComputeLoss(
+            num_classes=NC, ori_img_size=IMG, warmup_epoch=4,
+            use_dfl=False, reg_max=0, iou_type="siou")
+        step_fn = make_train_step(
+            model, loss_fn, build_param_groups(variables["params"]), SOLVER,
+            max_stepnum=10, epochs=10, batch_size=64, warmup_stepnum=5,
+            img_size=(IMG, IMG))
+        return step_fn, create_train_state(variables)
+
+    _assert_spmd_parity(setup, use_atss=True, epoch=0.0)
+
+
+def test_spmd_parity_dfl():
+    """The DFL/reg_max=16 regression path (all M/L training) under the mesh."""
+    def setup():
+        cfg = Config.fromfile("/root/repo/configs/yolov6m.py")
+        model = build_model(cfg, num_classes=NC, deploy=False)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+        head = cfg.model.head
+        assert head.use_dfl and head.reg_max == 16
+        loss_fn = ComputeLoss(
+            num_classes=NC, ori_img_size=IMG, warmup_epoch=0,
+            use_dfl=True, reg_max=16, iou_type=head.iou_type)
+        step_fn = make_train_step(
+            model, loss_fn, build_param_groups(variables["params"]), SOLVER,
+            max_stepnum=10, epochs=10, batch_size=64, warmup_stepnum=5,
+            img_size=(IMG, IMG))
+        return step_fn, create_train_state(variables)
+
+    _assert_spmd_parity(setup, use_atss=False)
+
+
+def test_spmd_parity_fuse_ab():
+    """Anchor-aided training (af + ab losses) under the mesh."""
+    def setup():
+        cfg = Config.fromfile("/root/repo/configs/yolov6s.py")
+        model = build_model(cfg, num_classes=NC, fuse_ab=True, deploy=False)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+        head = cfg.model.head
+        loss_fn = ComputeLoss(
+            num_classes=NC, ori_img_size=IMG, warmup_epoch=0,
+            use_dfl=False, reg_max=0, iou_type="giou")
+        loss_ab = ComputeLossAB(
+            num_classes=NC, ori_img_size=IMG, iou_type="giou",
+            anchors_init=tuple(map(tuple, head.anchors_init)))
+        step_fn = make_train_step(
+            model, loss_fn, build_param_groups(variables["params"]), SOLVER,
+            max_stepnum=10, epochs=10, batch_size=64, warmup_stepnum=5,
+            img_size=(IMG, IMG), compute_loss_ab=loss_ab)
+        return step_fn, create_train_state(variables)
+
+    _assert_spmd_parity(setup, use_atss=False)
+
+
+def test_spmd_parity_distill_ns():
+    """Self-distillation (teacher fwd in-graph, dual-reg student head)."""
+    def setup():
+        cfg = Config.fromfile("/root/repo/configs/yolov6s.py")
+        cfg.model.head.use_dfl = True
+        cfg.model.head.reg_max = 16
+        model = build_model(cfg, num_classes=NC, distill_ns=True, deploy=False)
+        t_model = build_model(cfg, num_classes=NC, deploy=False)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+        t_variables = t_model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, IMG, IMG, 3)), train=False)
+        distill_loss = ComputeLossDistillNS(
+            num_classes=NC, ori_img_size=IMG, warmup_epoch=0,
+            use_dfl=True, reg_max=model.detect.reg_max, iou_type="giou",
+            distill_feat=True, max_epoch=10, temperature=20.0)
+        step_fn = make_train_step(
+            model, None, build_param_groups(variables["params"]), SOLVER,
+            max_stepnum=10, epochs=10, batch_size=64, warmup_stepnum=5,
+            img_size=(IMG, IMG), teacher=(t_model, t_variables, distill_loss))
+        return step_fn, create_train_state(variables)
+
+    _assert_spmd_parity(setup, use_atss=False, epoch=1.0)

@@ -260,9 +260,23 @@ def main():
                 graph_name=osp.basename(args.config).rsplit(".", 1)[0],
                 doc=f"yolov6-tpu export of {args.weights}")
             if args.quant:
-                from yolov6_tpu.export.onnx_quant import to_qdq
+                from yolov6_tpu.export.onnx_quant import (
+                    remove_qdq, save_calib_cache_file, to_qdq,
+                )
 
                 data = to_qdq(data, args.num_bits)
+                # TRT implicit-int8 companion artifacts: a plain fp32 graph +
+                # calibration cache (reference tools/qat/onnx_utils.py:280-288
+                # get_remove_qdq_onnx_and_cache)
+                plain, act_map = remove_qdq(data)
+                base = output.rsplit(".", 1)[0]
+                with open(base + "_remove_qdq.onnx", "wb") as f:
+                    f.write(plain)
+                save_calib_cache_file(
+                    base + "_remove_qdq_calibration.cache", act_map)
+                LOGGER.info(
+                    f"Wrote implicit-int8 companions: {base}_remove_qdq.onnx "
+                    f"+ calibration cache ({len(act_map)} activation scales)")
             if args.dynamic_batch or onnx_half:
                 from yolov6_tpu.export.onnx_export import make_dynamic_batch
                 from yolov6_tpu.export.onnx_proto import parse_model

@@ -1,0 +1,173 @@
+"""End-to-end learning gate: prove the full loader -> train_step -> EMA ->
+checkpoint -> Evaler -> coco_eval chain LEARNS detection, not just runs.
+
+Generates a synthetic shapes dataset (yolov6_tpu/data/synth_detect.py),
+trains through tools/train.py's main(), then evaluates saved checkpoints
+through tools/eval.py's run() and asserts mAP50 rises far above chance and
+improves across checkpoints. This is the in-repo stand-in for the blocked
+real-COCO reproduction gate (reference analog: eval-during-training as the
+CI signal, yolov6/core/engine.py:184-190); when real weights/data arrive,
+tools/repro_gate.py takes over.
+
+Also reports the NMS approx-vs-exact mAP delta on the final checkpoint
+(default eval settings vs the reference 30000-candidate exact protocol),
+exercising the fidelity comparison docs/nms_fidelity.md defers to real data.
+
+Usage (defaults are sized for a ~15-min TPU run / slow CPU run):
+    python tools/learning_gate.py --out /tmp/lgate --epochs 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import os.path as osp
+import sys
+
+ROOT = osp.dirname(osp.dirname(osp.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+def get_args_parser(add_help=True):
+    p = argparse.ArgumentParser("yolov6-tpu synthetic learning gate", add_help=add_help)
+    p.add_argument("--out", type=str, required=True, help="work dir (dataset + runs)")
+    p.add_argument("--conf-file", type=str, default=osp.join(ROOT, "configs", "yolov6n.py"))
+    p.add_argument("--img-size", type=int, default=160)
+    p.add_argument("--n-train", type=int, default=256)
+    p.add_argument("--n-val", type=int, default=64)
+    p.add_argument("--nc", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--workers", type=int, default=2)
+    p.add_argument("--max-labels", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--min-map50", type=float, default=0.50,
+                   help="gate: final mAP50 must exceed this (chance ~ 0)")
+    p.add_argument("--min-gain", type=float, default=0.10,
+                   help="gate: final mAP50 must beat the earliest ckpt by this")
+    p.add_argument("--eval-points", type=int, default=3,
+                   help="number of checkpoints (incl. final) to evaluate")
+    p.add_argument("--skip-exact-nms", action="store_true",
+                   help="skip the approx-vs-exact NMS delta eval")
+    p.add_argument("--bf16", action="store_true")
+    return p
+
+
+def _eval_ckpt(data_yaml, ckpt, conf_file, img_size, batch_size, save_dir,
+               **eval_kw):
+    eval_mod = _load_tool("eval")
+    (map50_95, map50), _ = eval_mod.run(
+        data=data_yaml, weights=ckpt, config=conf_file,
+        batch_size=batch_size, img_size=img_size,
+        conf_thres=0.03, iou_thres=0.65, task="val", half=False,
+        save_dir=save_dir, plot_curve=False, **eval_kw,
+    )
+    return float(map50), float(map50_95)
+
+
+def _load_tool(name):
+    spec = importlib.util.spec_from_file_location(
+        f"_lgate_{name}", osp.join(ROOT, "tools", f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def main(args):
+    from yolov6_tpu.data.synth_detect import generate_synth_dataset
+    from yolov6_tpu.utils.events import LOGGER
+
+    os.makedirs(args.out, exist_ok=True)
+    data_root = osp.join(args.out, "dataset")
+    data_yaml = osp.join(data_root, "data.yaml")
+    if not osp.exists(data_yaml):
+        LOGGER.info(f"Generating synthetic dataset under {data_root}")
+        generate_synth_dataset(
+            data_root, n_train=args.n_train, n_val=args.n_val,
+            img_size=args.img_size * 2, nc=args.nc, seed=args.seed,
+        )
+
+    train_cli = _load_tool("train")
+    train_args = train_cli.get_args_parser().parse_args([
+        "--data-path", data_yaml,
+        "--conf-file", args.conf_file,
+        "--img-size", str(args.img_size),
+        "--img-floor", str(args.img_size),
+        "--batch-size", str(args.batch_size),
+        "--epochs", str(args.epochs),
+        "--workers", str(args.workers),
+        "--eval-final-only",
+        "--heavy-eval-range", "0",
+        "--stop_aug_last_n_epoch", str(max(2, args.epochs // 6)),
+        "--save_ckpt_on_last_n_epoch", str(args.epochs),  # every epoch
+        "--output-dir", osp.join(args.out, "train"),
+        "--name", "gate",
+        "--max-labels", str(args.max_labels),
+        "--seed", str(args.seed),
+        "--log-interval", "20",
+    ] + (["--bf16"] if args.bf16 else []))
+    train_cli.main(train_args)
+    weights_dir = osp.join(train_args.save_dir, "weights")
+
+    # evaluate an early / mid / final trajectory (per-epoch ckpts are
+    # 0-indexed "<e>_ckpt.msgpack"; the stripped final is last_ckpt)
+    pts = sorted({max(0, round((i + 1) * (args.epochs - 1) / args.eval_points))
+                  for i in range(args.eval_points)})
+    trajectory = []
+    for e in pts:
+        ckpt = osp.join(weights_dir, f"{e}_ckpt.msgpack")
+        if not osp.exists(ckpt):
+            ckpt = osp.join(weights_dir, "last_ckpt.msgpack")
+        m50, m5095 = _eval_ckpt(
+            data_yaml, ckpt, args.conf_file, args.img_size, args.batch_size,
+            osp.join(args.out, f"eval_e{e}"))
+        trajectory.append({"epoch": e, "map50": m50, "map50_95": m5095})
+        LOGGER.info(f"gate eval epoch {e}: mAP50={m50:.4f} mAP50-95={m5095:.4f}")
+
+    final = trajectory[-1]
+    result = {
+        "trajectory": trajectory,
+        "final_map50": final["map50"],
+        "final_map50_95": final["map50_95"],
+        "gain": final["map50"] - trajectory[0]["map50"],
+        "min_map50": args.min_map50,
+    }
+
+    # NMS fidelity: default approx settings vs the reference exact protocol
+    # (max_nms=30000, per-anchor exact top-k row selection)
+    if not args.skip_exact_nms:
+        ckpt = osp.join(weights_dir, f"{pts[-1]}_ckpt.msgpack")
+        if not osp.exists(ckpt):
+            ckpt = osp.join(weights_dir, "last_ckpt.msgpack")
+        m50_exact, m5095_exact = _eval_ckpt(
+            data_yaml, ckpt, args.conf_file, args.img_size, args.batch_size,
+            osp.join(args.out, "eval_exact"),
+            max_nms=30000, row_select="topk",
+        )
+        result["exact_nms"] = {"map50": m50_exact, "map50_95": m5095_exact}
+        result["nms_delta_map50_95"] = final["map50_95"] - m5095_exact
+        LOGGER.info(
+            f"NMS approx-vs-exact: mAP50-95 {final['map50_95']:.4f} vs "
+            f"{m5095_exact:.4f} (delta {result['nms_delta_map50_95']:+.4f})")
+
+    passed = (final["map50"] >= args.min_map50
+              and result["gain"] >= args.min_gain)
+    result["passed"] = bool(passed)
+    print(json.dumps(result))
+    with open(osp.join(args.out, "gate_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    if not passed:
+        LOGGER.error(
+            f"LEARNING GATE FAILED: final mAP50 {final['map50']:.4f} "
+            f"(need >= {args.min_map50}), gain {result['gain']:.4f} "
+            f"(need >= {args.min_gain})")
+        return 1
+    LOGGER.info(f"LEARNING GATE PASSED: mAP50 {final['map50']:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(get_args_parser().parse_args()))

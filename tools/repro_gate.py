@@ -54,6 +54,9 @@ def get_args_parser(add_help=True):
     p.add_argument("--save-dir", type=str, default="runs/repro_gate")
     p.add_argument("--out-json", type=str, default=None,
                    help="write the per-model results to this JSON file")
+    p.add_argument("--skip-nms-delta", action="store_true",
+                   help="skip the second eval per model that measures the "
+                        "approx-vs-exact NMS mAP delta")
     return p
 
 
@@ -108,14 +111,12 @@ def main(args):
             if osp.exists(native):
                 weights = native
             elif not download_ckpt(weights):
-                rows.append((name, None, TARGETS[name], "SKIP (no weights)"))
+                rows.append((name, None, TARGETS[name], "SKIP (no weights)", None))
                 continue
         ep = repro.eval_params.get(name, repro.eval_params["default"])
         save_dir = osp.join(args.save_dir, name)
         os.makedirs(save_dir, exist_ok=True)
-        LOGGER.info(f"=== {name}: eval @{ep['img_size']} shrink={ep['shrink_size']} ===")
-        (map50, map5095), _ = eval_run(
-            dict(data),
+        common = dict(
             weights=weights,
             config=osp.join(ROOT, "configs", f"{name}.py"),
             batch_size=args.batch_size,
@@ -123,25 +124,44 @@ def main(args):
             conf_thres=0.03,
             iou_thres=0.65,
             task="val",
-            save_dir=save_dir,
             shrink_size=ep["shrink_size"],
             infer_on_rect=ep["infer_on_rect"],
         )
+        LOGGER.info(f"=== {name}: eval @{ep['img_size']} shrink={ep['shrink_size']} ===")
+        (map50, map5095), _ = eval_run(dict(data), save_dir=save_dir, **common)
         map_pts = 100.0 * float(map5095)
         delta = map_pts - TARGETS[name]
         status = "PASS" if abs(delta) <= args.tol else "FAIL"
         ok &= status == "PASS"
-        rows.append((name, map_pts, TARGETS[name], f"{status} ({delta:+.2f})"))
 
-    print(f"\n{'model':10s} {'mAP50:95':>9s} {'target':>7s}  status")
-    for name, got, target, status in rows:
+        # NMS fidelity self-validation: re-evaluate under the reference's
+        # exact 30000-candidate protocol (per-anchor exact top-k row
+        # selection) and report the mAP cost of the default approximations
+        # (max_nms=8192 + grouped residue selection; docs/nms_fidelity.md
+        # calls the synthetic-scene 1.0-agreement claim provisional until
+        # this very comparison runs on real weights).
+        nms_delta = None
+        if not args.skip_nms_delta:
+            LOGGER.info(f"=== {name}: exact-NMS protocol eval (max_nms=30000) ===")
+            (_, map5095_exact), _ = eval_run(
+                dict(data), save_dir=osp.join(save_dir, "exact_nms"),
+                max_nms=30000, row_select="topk", **common)
+            nms_delta = map_pts - 100.0 * float(map5095_exact)
+            status += f" nmsΔ={nms_delta:+.3f}"
+        rows.append(
+            (name, map_pts, TARGETS[name], f"{status} ({delta:+.2f})", nms_delta))
+
+    print(f"\n{'model':10s} {'mAP50:95':>9s} {'target':>7s} {'nmsΔ':>7s}  status")
+    for name, got, target, status, nms_delta in rows:
         got_s = f"{got:9.2f}" if got is not None else f"{'—':>9s}"
-        print(f"{name:10s} {got_s} {target:7.1f}  {status}")
+        nd_s = f"{nms_delta:+7.3f}" if nms_delta is not None else f"{'—':>7s}"
+        print(f"{name:10s} {got_s} {target:7.1f} {nd_s}  {status}")
     if args.out_json:
         with open(args.out_json, "w") as f:
             json.dump(
-                [{"model": n, "map": g, "target": t, "status": s}
-                 for n, g, t, s in rows], f, indent=2,
+                [{"model": n, "map": g, "target": t, "status": s,
+                  "nms_delta": d}
+                 for n, g, t, s, d in rows], f, indent=2,
             )
     evaluated = [r for r in rows if r[1] is not None]
     if not evaluated:

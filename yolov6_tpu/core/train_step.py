@@ -100,7 +100,6 @@ def make_train_step(
     strides = model.strides
     feats_hw = [(img_size[0] // s, img_size[1] // s) for s in strides]
 
-    @partial(jax.jit, static_argnames=("use_atss",), donate_argnums=(0,))
     def train_step(state: TrainState, images_u8, targets, epoch, use_atss: bool):
         images = images_u8.astype(jnp.float32) / 255.0
 
@@ -236,4 +235,11 @@ def make_train_step(
         )
         return new_state, loss, components
 
-    return train_step
+    jitted = partial(jax.jit, static_argnames=("use_atss",), donate_argnums=(0,))(
+        train_step
+    )
+    # escape hatch for numeric cross-checks: the SAME step math, dispatched
+    # op-by-op (no XLA program, no donation) — the driver dryrun compares the
+    # sharded compiled step against this to catch silent collective bugs
+    jitted.eager_fn = train_step
+    return jitted

@@ -269,6 +269,79 @@ def to_fp16(m: ParsedModel) -> None:
     m.outputs = [(n, f16 if et == f32 else et, sh) for n, et, sh in m.outputs]
 
 
+# -------------------------------------------- QDQ removal + TRT calib cache
+
+def remove_qdq(model_bytes: bytes):
+    """Strip QDQ pairs from a QDQ graph, collecting activation scales.
+
+    The TensorRT implicit-int8 deployment path consumes a plain fp32 ONNX +
+    a calibration cache instead of explicit QDQ nodes (reference:
+    tools/qat/onnx_utils.py:147-272 onnx_remove_qdqnode). Returns
+    ``(plain_model_bytes, activation_map)`` where activation_map maps
+    tensor name -> big-endian float32 hex of its scale, max-merged when a
+    tensor is quantized more than once (reference :215-220). Weight
+    DequantizeLinear nodes are folded by de-quantizing the int8 initializer
+    back to fp32 (our QDQ export stores kernels as int8 payloads; the
+    reference keeps fp32 weights so it can simply drop the nodes).
+    """
+    import struct
+
+    m = parse_model(model_bytes)
+    inits = m.initializers
+    alias: Dict[str, str] = {}
+    activation_map: Dict[str, str] = {}
+    kept: List[ParsedNode] = []
+    for node in m.nodes:
+        if node.op_type == "QuantizeLinear":
+            x, s = node.inputs[0], node.inputs[1]
+            sval = inits.get(s)
+            if sval is not None and sval.size == 1 and x not in inits:
+                val = float(np.asarray(sval).reshape(-1)[0])
+                if x in activation_map:
+                    old = struct.unpack("!f", bytes.fromhex(activation_map[x]))[0]
+                    val = max(val, old)
+                activation_map[x] = struct.pack(">f", np.float32(val)).hex()
+                alias[node.outputs[0]] = x
+                continue
+        elif node.op_type == "DequantizeLinear":
+            inp = node.inputs[0]
+            if inp in inits:  # int8 weight: fold the dequant into the init
+                w = inits[inp].astype(np.float32)
+                scale = np.asarray(inits[node.inputs[1]], np.float32)
+                zp = (np.asarray(inits[node.inputs[2]], np.float32)
+                      if len(node.inputs) > 2 and node.inputs[2] else 0.0)
+                if scale.ndim == 1:  # per-channel along attrs axis
+                    ax = int(node.attrs.get("axis", 0))
+                    shape = [1] * w.ndim
+                    shape[ax] = -1
+                    scale = scale.reshape(shape)
+                    zp = np.asarray(zp).reshape(shape) if np.ndim(zp) else zp
+                inits[node.outputs[0]] = (w - zp) * scale
+                continue
+            alias[node.outputs[0]] = inp
+            continue
+        kept.append(node)
+    m.nodes = kept
+    _rebind(m, alias)
+    prune_dead(m)
+    return (
+        encode_parsed(m, opset=m.opset or 13, doc="QDQ removed (implicit int8)"),
+        activation_map,
+    )
+
+
+def save_calib_cache_file(cache_file: str, activation_map: Dict[str, str],
+                          headline: str = "TRT-8XXX-EntropyCalibration2\n") -> None:
+    """Write a TensorRT calibration cache: header line, then one
+    ``tensor_name: <be-float32-hex>`` row per activation (the exact layout
+    IInt8Calibrator.read_calibration_cache consumes; reference
+    tools/qat/onnx_utils.py:274-278)."""
+    with open(cache_file, "w") as f:
+        f.write(headline)
+        for k, v in activation_map.items():
+            f.write(f"{k}: {v}\n")
+
+
 # --------------------------------------------------------------- re-encode
 
 def encode_parsed(m: ParsedModel, opset: int = 13, doc: str = "") -> bytes:
