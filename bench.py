@@ -228,6 +228,111 @@ def train_fps(batch, img, steps, max_labels=32, training_mode=None):
     return batch * steps / dt
 
 
+def train_pipeline_fps(batch, img, steps, max_labels=32):
+    """Sustained training throughput INCLUDING the host data pipeline.
+
+    The jitted-step number (train_fps) feeds the device from a resident
+    batch; real training pays JPEG decode + mosaic + affine + HSV on the
+    1-core host (reference analog: worker-pool dataloader,
+    reference data_load.py:66-73). This builds a synthetic on-disk dataset,
+    the REAL augmenting dataloader (threaded prefetch, data/data_load.py),
+    and measures: loader-only imgs/s, and end-to-end sustained imgs/s with
+    the device step overlapped via async dispatch (the engine.py pattern).
+    Returns a dict {loader_imgs_s, end_to_end_imgs_s, loader_share}.
+    """
+    import tempfile
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from yolov6_tpu.core.train_step import create_train_state, make_train_step
+    from yolov6_tpu.data.data_load import create_dataloader
+    from yolov6_tpu.data.synth_detect import generate_synth_dataset
+    from yolov6_tpu.losses.loss import ComputeLoss
+    from yolov6_tpu.models.yolo import build_model
+    from yolov6_tpu.solver.build import build_param_groups
+    from yolov6_tpu.utils.config import Config
+    from yolov6_tpu.utils.events import load_yaml
+
+    import jax
+
+    n_imgs = max(2 * batch, 64)
+    root = os.path.join(tempfile.gettempdir(), f"bench_pipe_{img}_{n_imgs}")
+    data_yaml = os.path.join(root, "data.yaml")
+    if not os.path.exists(data_yaml):
+        # source images at 2x train size: decode cost comparable to COCO
+        generate_synth_dataset(root, n_train=n_imgs, n_val=8,
+                               img_size=2 * img, nc=4, seed=0)
+    data_dict = load_yaml(data_yaml)
+
+    cfg = Config.fromfile(find_config("yolov6s"))
+    loader = create_dataloader(
+        data_dict["train"], img, batch, hyp=dict(cfg.data_aug), augment=True,
+        data_dict=data_dict, task="train", num_workers=4,
+        max_labels=max_labels, seed=0,
+    )
+
+    # loader-only: one full pass
+    t0 = time.perf_counter()
+    n = 0
+    batches = []
+    for imgs, targets, _, _ in loader:
+        n += imgs.shape[0]
+        if len(batches) < steps:
+            batches.append((np.asarray(imgs), np.asarray(targets)))
+    loader_dt = time.perf_counter() - t0
+    loader_fps = n / loader_dt
+
+    # device step (same construction as train_fps, S @640 bf16)
+    model = build_model(cfg, num_classes=4, deploy=False, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False)
+    head = cfg.model.head
+    loss_fn = ComputeLoss(
+        num_classes=4, ori_img_size=img, warmup_epoch=0,
+        use_dfl=head.use_dfl, reg_max=head.reg_max, iou_type=head.iou_type,
+    )
+    solver_cfg = dict(
+        lr0=cfg.solver.lr0, lrf=cfg.solver.lrf, momentum=cfg.solver.momentum,
+        weight_decay=cfg.solver.weight_decay, warmup_epochs=cfg.solver.warmup_epochs,
+        warmup_momentum=cfg.solver.warmup_momentum,
+        warmup_bias_lr=cfg.solver.warmup_bias_lr, lr_scheduler="Cosine",
+    )
+    step_fn = make_train_step(
+        model, loss_fn, build_param_groups(variables["params"]), solver_cfg,
+        max_stepnum=1000, epochs=300, batch_size=batch, warmup_stepnum=10,
+        img_size=(img, img),
+    )
+    state = create_train_state(
+        {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
+    )
+    epoch = jnp.asarray(100)
+    im0, tg0 = batches[0]
+    state, loss, _ = step_fn(state, jnp.asarray(im0), jnp.asarray(tg0), epoch,
+                             use_atss=False)
+    float(loss)  # compile + settle
+
+    # end-to-end: fresh loader pass overlapped with async-dispatched steps
+    t0 = time.perf_counter()
+    n = 0
+    done = 0
+    for imgs, targets, _, _ in loader:
+        state, loss, _ = step_fn(
+            state, jnp.asarray(np.asarray(imgs)), jnp.asarray(np.asarray(targets)),
+            epoch, use_atss=False)
+        n += imgs.shape[0]
+        done += 1
+        if done >= 2 * steps:
+            break
+    float(loss)  # drain the device pipeline
+    e2e_dt = time.perf_counter() - t0
+    e2e_fps = n / e2e_dt
+    return {
+        "loader_imgs_s": round(loader_fps, 2),
+        "end_to_end_imgs_s": round(e2e_fps, 2),
+        "loader_share": round(min(1.0, e2e_fps / max(loader_fps, 1e-9)), 3),
+    }
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     img = int(os.environ.get("BENCH_IMG", "640"))
@@ -262,6 +367,10 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             extras["s_train_repopt_imgs_s"] = f"error: {e}"
+        try:
+            extras["s_train_pipeline"] = train_pipeline_fps(batch, img, steps=6)
+        except Exception as e:  # noqa: BLE001
+            extras["s_train_pipeline"] = f"error: {e}"
         for small, key in (("yolov6n", "n_fwd_imgs_s"), ("yolov6l", "l_fwd_imgs_s")):
             try:
                 f, _ = fwd_decode_fps(small, batch, img, iters=30)

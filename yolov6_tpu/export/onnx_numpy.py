@@ -105,6 +105,9 @@ class OnnxRunner:
         self.model = parse_model(model) if isinstance(model, (bytes, bytearray)) else model
         self.input_names = [n for n, _, _ in self.model.inputs]
         self.output_names = [n for n, _, _ in self.model.outputs]
+        # optional per-tensor observation hook: observer(name, value, node)
+        # after every node (used by ONNX-level PTQ calibration, quant/onnx_ptq)
+        self.observer = None
 
     def __call__(self, *args: np.ndarray) -> List[np.ndarray]:
         if len(args) != len(self.input_names):
@@ -124,6 +127,9 @@ class OnnxRunner:
                 outs = (outs,)
             for name, val in zip(node.outputs, outs):
                 env[name] = val
+            if self.observer is not None:
+                for name in node.outputs:
+                    self.observer(name, env[name], node)
         return [env[n] for n in self.output_names]
 
     # --- elementwise ---
