@@ -64,26 +64,10 @@ def numpy_nms(pred: np.ndarray, conf_thres: float, iou_thres: float,
     return rows[keep]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--model", required=True, help="ONNX file from tools/export.py")
-    ap.add_argument("--source", required=True, help="input image")
-    ap.add_argument("--save", default=None, help="output image path")
-    ap.add_argument("--conf-thres", type=float, default=0.4)
-    ap.add_argument("--iou-thres", type=float, default=0.45)
-    ap.add_argument("--class-names", nargs="*", default=None)
-    args = ap.parse_args()
-
-    with open(args.model, "rb") as f:
-        runner = OnnxRunner(f.read())
-    _, _, in_shape = runner.model.inputs[0]
-    h, w = int(in_shape[1]), int(in_shape[2])
-
-    img_src = cv2.imread(args.source)
-    assert img_src is not None, f"cannot read {args.source}"
-    img, ratio, (dw, dh) = letterbox(img_src, (h, w), auto=False)
+def infer_frame(runner, img_src, h, w, conf_thres, iou_thres):
+    """One frame through letterbox -> graph -> NMS -> source-pixel dets."""
+    img = letterbox(img_src, (h, w), auto=False)[0]
     x = img[..., ::-1].astype(np.float32)[None] / 255.0  # BGR->RGB, NHWC
-
     outs = runner(x)
     if len(outs) == 4:  # end2end artifact: (num_dets, boxes, scores, classes)
         n = int(outs[0][0, 0])
@@ -92,10 +76,13 @@ def main():
              outs[3][0, :n, None].astype(np.float32)], axis=1,
         )
     else:
-        dets = numpy_nms(outs[0][0], args.conf_thres, args.iou_thres)
+        dets = numpy_nms(outs[0][0], conf_thres, iou_thres)
+    if len(dets):
+        dets[:, :4] = Inferer.rescale((h, w), dets[:, :4], img_src.shape[:2])
+    return dets
 
-    dets[:, :4] = Inferer.rescale((h, w), dets[:, :4], img_src.shape[:2])
-    names = args.class_names
+
+def draw_dets(img_src, dets, names, verbose=True):
     for *xyxy, conf, cls in dets:
         label = (names[int(cls)] if names and int(cls) < len(names)
                  else f"class{int(cls)}")
@@ -104,7 +91,74 @@ def main():
             np.asarray(xyxy), f"{label} {conf:.2f}",
             color=Inferer.generate_colors(int(cls), bgr=True),
         )
-        print(f"{label}: conf={conf:.3f} box={[round(float(v), 1) for v in xyxy]}")
+        if verbose:
+            print(f"{label}: conf={conf:.3f} box={[round(float(v), 1) for v in xyxy]}")
+
+
+def run_video(runner, h, w, args):
+    """Per-frame video loop with FPS overlay + VideoWriter (the reference
+    deploy/ONNX/OpenCV/yolo_video.py:60-130 analog)."""
+    import time as _time
+
+    cap = cv2.VideoCapture(args.source)
+    assert cap.isOpened(), f"cannot open video {args.source}"
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    size = (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    writer = None
+    if args.save:
+        writer = cv2.VideoWriter(
+            args.save, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    n_frames, n_dets, t0 = 0, 0, _time.perf_counter()
+    while True:
+        ok, frame = cap.read()
+        if not ok or (args.max_frames and n_frames >= args.max_frames):
+            break
+        dets = infer_frame(runner, frame, h, w, args.conf_thres, args.iou_thres)
+        draw_dets(frame, dets, args.class_names, verbose=False)
+        cur_fps = (n_frames + 1) / (_time.perf_counter() - t0)
+        cv2.putText(frame, f"FPS: {cur_fps:.1f}", (10, 25),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 255, 0), 2)
+        if writer is not None:
+            writer.write(frame)
+        n_frames += 1
+        n_dets += len(dets)
+    cap.release()
+    if writer is not None:
+        writer.release()
+        print(f"saved to {args.save}")
+    print(f"{n_frames} frames, {n_dets} detections")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, help="ONNX file from tools/export.py")
+    ap.add_argument("--source", required=True, help="input image or video")
+    ap.add_argument("--save", default=None, help="output image/video path")
+    ap.add_argument("--conf-thres", type=float, default=0.4)
+    ap.add_argument("--iou-thres", type=float, default=0.45)
+    ap.add_argument("--class-names", nargs="*", default=None)
+    ap.add_argument("--video", action="store_true",
+                    help="treat --source as a video: per-frame loop with "
+                         "FPS overlay (reference yolo_video.py analog)")
+    ap.add_argument("--max-frames", type=int, default=0,
+                    help="video mode: stop after N frames (0 = all)")
+    args = ap.parse_args()
+
+    with open(args.model, "rb") as f:
+        runner = OnnxRunner(f.read())
+    _, _, in_shape = runner.model.inputs[0]
+    h, w = int(in_shape[1]), int(in_shape[2])
+
+    if args.video or osp.splitext(args.source)[-1].lower() in (
+            ".mp4", ".avi", ".mov", ".mkv", ".webm"):
+        run_video(runner, h, w, args)
+        return
+
+    img_src = cv2.imread(args.source)
+    assert img_src is not None, f"cannot read {args.source}"
+    dets = infer_frame(runner, img_src, h, w, args.conf_thres, args.iou_thres)
+    draw_dets(img_src, dets, args.class_names)
     print(f"{len(dets)} detections")
     if args.save:
         cv2.imwrite(args.save, img_src)
