@@ -59,7 +59,7 @@ def get_args_parser(add_help=True):
 def _eval_ckpt(data_yaml, ckpt, conf_file, img_size, batch_size, save_dir,
                **eval_kw):
     eval_mod = _load_tool("eval")
-    (map50_95, map50), _ = eval_mod.run(
+    (map50, map50_95), _ = eval_mod.run(
         data=data_yaml, weights=ckpt, config=conf_file,
         batch_size=batch_size, img_size=img_size,
         conf_thres=0.03, iou_thres=0.65, task="val", half=False,
