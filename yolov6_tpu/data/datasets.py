@@ -293,11 +293,36 @@ class TrainValDataset:
         return self.n
 
     def load_image(self, index, shrink_size: Optional[int] = None):
-        """Ratio-keeping pre-resize (reference: datasets.py:257-295)."""
+        """Ratio-keeping pre-resize (reference: datasets.py:257-295).
+
+        Train-time fast path: when augmenting, JPEGs whose long side is
+        >= 2x the target are decoded at reduced scale (libjpeg DCT scaling
+        via cv2.IMREAD_REDUCED_COLOR_N) — a large decode-cost cut on the
+        host pipeline. Pixels differ slightly from full-decode + INTER_AREA,
+        so this NEVER applies to the eval path (whose letterbox resize is
+        bit-parity-tested against the reference)."""
         if self.cache_ram and self.imgs[index] is not None:
             return self.imgs[index], self.imgs_hw0[index], self.imgs_hw[index]
         path = self.img_paths[index]
-        im = cv2.imread(path)
+        im = None
+        if (
+            self.augment and not shrink_size
+            and path.lower().endswith((".jpg", ".jpeg"))
+            and getattr(self, "shapes", None) is not None
+        ):
+            long_side = float(max(self.shapes[index]))
+            target = (max(self.target_height, self.target_width)
+                      if self.specific_shape else self.img_size)
+            red, flag = 1, None
+            for n, f in ((2, cv2.IMREAD_REDUCED_COLOR_2),
+                         (4, cv2.IMREAD_REDUCED_COLOR_4),
+                         (8, cv2.IMREAD_REDUCED_COLOR_8)):
+                if long_side / n >= target:
+                    red, flag = n, f
+            if flag is not None:
+                im = cv2.imread(path, flag)
+        if im is None:
+            im = cv2.imread(path)
         if im is None:
             from PIL import Image
 
