@@ -89,66 +89,76 @@ def main():
 
     def fwd_running(v, xx):
         (head_out, _) = model_t.apply(v, xx, train=False)
-        return head_out[0]
+        return head_out["cls"][0]
 
     def fwd_train(v, xx):
         (head_out, _), upd = model_t.apply(
             v, xx, train=True, mutable=["batch_stats"])
-        return head_out[0]
+        return head_out["cls"][0]
 
     results["B_train_topo_running"] = timed(jax, jnp, fwd_running, (v_t, x))
     print(f"B train-topo fwd (running):   {results['B_train_topo_running']:7.2f}", flush=True)
     results["C_train_topo_batchstats"] = timed(jax, jnp, fwd_train, (v_t, x))
     print(f"C train-topo fwd (batch):     {results['C_train_topo_batchstats']:7.2f}", flush=True)
 
-    # variants: monkeypatch TorchBatchNorm internals
-    orig = common.TorchBatchNorm.__call__
+    # variants: swap the TorchBatchNorm class in common's namespace (the
+    # BatchNorm wrapper resolves it at call time and names it "bn", so
+    # param/collection paths are unchanged)
+    orig_cls = common.TorchBatchNorm
 
-    def make_call(bf16_stats: bool, out_xdtype: bool):
+    def make_variant(bf16_stats: bool, out_xdtype: bool):
         import flax.linen as nn
+        from typing import Any as _Any
 
-        def __call__(self, xx):
-            feat = xx.shape[-1]
-            scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
-            ra_mean = self.variable("batch_stats", "mean",
-                                    lambda: jnp.zeros((feat,), jnp.float32))
-            ra_var = self.variable("batch_stats", "var",
-                                   lambda: jnp.ones((feat,), jnp.float32))
-            xf = xx.astype(jnp.float32)
-            if self.use_running_average:
-                mean, var = ra_mean.value, ra_var.value
-            else:
-                axes = tuple(range(xx.ndim - 1))
-                src = xx if bf16_stats else xf
-                mean = jnp.mean(src, axes, dtype=jnp.float32)
-                var = (jnp.mean(jnp.square(src), axes, dtype=jnp.float32)
-                       - jnp.square(mean))
-                if not self.is_initializing():
-                    n = 1
-                    for i in axes:
-                        n *= xx.shape[i]
-                    unbiased = var * (n / max(n - 1, 1))
-                    m = self.momentum
-                    ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                    ra_var.value = m * ra_var.value + (1 - m) * unbiased
-            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-            y = y * scale + bias
-            return y.astype(xx.dtype if out_xdtype else jnp.float32)
+        class TorchBatchNorm(nn.Module):
+            use_running_average: bool = True
+            momentum: float = 0.97
+            epsilon: float = 1e-3
+            dtype: _Any = jnp.float32
 
-        return __call__
+            @nn.compact
+            def __call__(self, xx):
+                feat = xx.shape[-1]
+                scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+                bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+                ra_mean = self.variable("batch_stats", "mean",
+                                        lambda: jnp.zeros((feat,), jnp.float32))
+                ra_var = self.variable("batch_stats", "var",
+                                       lambda: jnp.ones((feat,), jnp.float32))
+                xf = xx.astype(jnp.float32)
+                if self.use_running_average:
+                    mean, var = ra_mean.value, ra_var.value
+                else:
+                    axes = tuple(range(xx.ndim - 1))
+                    src = xx if bf16_stats else xf
+                    mean = jnp.mean(src, axes, dtype=jnp.float32)
+                    var = (jnp.mean(jnp.square(src), axes, dtype=jnp.float32)
+                           - jnp.square(mean))
+                    if not self.is_initializing():
+                        n = 1
+                        for i in axes:
+                            n *= xx.shape[i]
+                        unbiased = var * (n / max(n - 1, 1))
+                        m = self.momentum
+                        ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                        ra_var.value = m * ra_var.value + (1 - m) * unbiased
+                y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+                y = y * scale + bias
+                return y.astype(xx.dtype if out_xdtype else jnp.float32)
+
+        return TorchBatchNorm
 
     for key, (bs, od) in {
         "D_bf16_stat_reads": (True, False),
         "E_bf16_bn_output": (False, True),
         "F_both": (True, True),
     }.items():
-        common.TorchBatchNorm.__call__ = make_call(bs, od)
+        common.TorchBatchNorm = make_variant(bs, od)
         try:
             results[key] = timed(jax, jnp, fwd_train, (v_t, x))
             print(f"{key:28s}: {results[key]:7.2f}", flush=True)
         finally:
-            common.TorchBatchNorm.__call__ = orig
+            common.TorchBatchNorm = orig_cls
 
     print("\nSplit:")
     print(f"  multi-branch topology cost: "
