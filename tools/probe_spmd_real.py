@@ -61,9 +61,8 @@ def main():
         img_size=(img, img))
 
     mesh = pmesh.create_mesh(n_dev)
-    eval_vars = {"params": variables["params"],
-                 "batch_stats": variables["batch_stats"]}
     state = pmesh.replicate_state(mesh, create_train_state(variables))
+    del variables  # donated into step_fn below — any alias would be deleted
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (batch, img, img, 3), np.uint8))
@@ -103,6 +102,10 @@ def main():
     sharded_eval = jax.jit(
         eval_fn,
         in_shardings=(pmesh.replicated(mesh), pmesh.batch_sharding(mesh)))
+    # eval with the POST-step weights: step_fn donates its input state, so
+    # the init-time `variables` buffers no longer exist — and the trained
+    # state is the realistic eval input anyway.
+    eval_vars = {"params": state.params, "batch_stats": state.batch_stats}
     dets, valid = jax.device_get(
         sharded_eval(pmesh.replicate_state(mesh, eval_vars),
                      pmesh.shard_batch(mesh, images)))
