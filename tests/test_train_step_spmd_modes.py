@@ -31,6 +31,16 @@ SOLVER = dict(
 )
 
 
+def _small(cfg):
+    """Shrink width/depth: SPMD *numerics* of each training mode are
+    width-independent (each test still compiles 2 full train programs on
+    1 CPU core — full width took ~45 min/test). Real-width sharded
+    compile+step is validated separately on TPU (tools/probe_spmd_real.py)."""
+    cfg.model.depth_multiple = 0.33
+    cfg.model.width_multiple = 0.125
+    return cfg
+
+
 def _batch():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3), np.uint8))
@@ -50,25 +60,75 @@ def _run_trajectory(make_setup, n_steps, sharded, use_atss, epoch=0.0):
         mesh = create_mesh()
         state = replicate_state(mesh, state)
         images, targets = shard_batch(mesh, (images, targets))
-    losses = []
-    for _ in range(n_steps):
+    # host copy BEFORE the first (donating) call consumes the buffers
+    params0 = jax.device_get(state.params)
+    losses, params1 = [], None
+    for i in range(n_steps):
         state, loss, _ = step_fn(
             state, images, targets, jnp.asarray(epoch), use_atss=use_atss)
         losses.append(float(loss))
-    return losses
+        if i == 0:
+            params1 = jax.device_get(state.params)
+    return losses, params0, params1
 
 
-def _assert_spmd_parity(make_setup, use_atss=False, epoch=0.0, n_steps=3):
-    l_single = _run_trajectory(make_setup, n_steps, False, use_atss, epoch)
-    l_shard = _run_trajectory(make_setup, n_steps, True, use_atss, epoch)
+def _update_vec(p0, p1):
+    """Flattened global (params_after_step - params_init) vector, fp64."""
+    leaves0 = jax.tree_util.tree_leaves(p0)
+    leaves1 = jax.tree_util.tree_leaves(p1)
+    return np.concatenate(
+        [(np.asarray(b, np.float64) - np.asarray(a, np.float64)).ravel()
+         for a, b in zip(leaves0, leaves1)])
+
+
+def _assert_spmd_parity(make_setup, use_atss=False, epoch=0.0, n_steps=3,
+                        traj_rtol=2e-3, chaotic=False):
+    """SPMD == single-device: loss trajectory over n_steps AND the params
+    after the first step. The param check is the rigorous collective test —
+    from identical initial params, the only sharded-vs-single difference is
+    fp32 reduction order (~1e-6 relative), so any wrong/missing gradient
+    all-reduce (an 8x error) is unmissable.
+
+    ``chaotic`` modes (measured: distill-NS) hit a TAL top-k tie INSIDE
+    step 0 at this seed: reduction-order noise flips one discrete
+    assignment, so the step-0 loss still agrees to ~4e-6 but the gradient
+    ROUTES differently (~4-17% on some leaves) and later losses diverge —
+    legitimate nondeterminism, not a collective bug (the jitted step is
+    pure GSPMD; only reduction order can differ). For those modes the
+    per-element check is replaced by two chaos-tolerant detectors on the
+    global step-0 update vector: its norm ratio (a missing/doubled
+    all-reduce scales it 8x / 2x) and its cosine (a sign or axis error
+    flips it), plus the strict step-0 loss match."""
+    l_single, p0_single, p_single = _run_trajectory(
+        make_setup, n_steps, False, use_atss, epoch)
+    l_shard, p0_shard, p_shard = _run_trajectory(
+        make_setup, n_steps, True, use_atss, epoch)
     assert np.isfinite(l_single).all() and np.isfinite(l_shard).all()
-    np.testing.assert_allclose(l_single, l_shard, rtol=2e-3)
+    np.testing.assert_allclose(l_single[0], l_shard[0], rtol=1e-4)
+    np.testing.assert_allclose(l_single, l_shard, rtol=traj_rtol)
+
+    flat_s, _ = jax.tree_util.tree_flatten(p_single)
+    flat_m, _ = jax.tree_util.tree_flatten(p_shard)
+    assert len(flat_s) == len(flat_m) and flat_s
+    if chaotic:
+        u_s = _update_vec(p0_single, p_single)
+        u_m = _update_vec(p0_shard, p_shard)
+        ns, nm = np.linalg.norm(u_s), np.linalg.norm(u_m)
+        assert ns > 0 and nm > 0
+        ratio = nm / ns
+        cos = float(u_s @ u_m / (ns * nm))
+        assert 0.8 < ratio < 1.25, f"step-0 update norm ratio {ratio}"
+        assert cos > 0.9, f"step-0 update cosine {cos}"
+    else:
+        for a, b in zip(flat_s, flat_m):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
 
 
 def test_spmd_parity_atss_warmup():
     """ATSS assigner (epoch < warmup) under the mesh == single device."""
     def setup():
-        cfg = Config.fromfile("/root/repo/configs/yolov6n.py")
+        cfg = _small(Config.fromfile("/root/repo/configs/yolov6n.py"))
         model = build_model(cfg, num_classes=NC, deploy=False)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
@@ -87,7 +147,7 @@ def test_spmd_parity_atss_warmup():
 def test_spmd_parity_dfl():
     """The DFL/reg_max=16 regression path (all M/L training) under the mesh."""
     def setup():
-        cfg = Config.fromfile("/root/repo/configs/yolov6m.py")
+        cfg = _small(Config.fromfile("/root/repo/configs/yolov6m.py"))
         model = build_model(cfg, num_classes=NC, deploy=False)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
@@ -108,7 +168,7 @@ def test_spmd_parity_dfl():
 def test_spmd_parity_fuse_ab():
     """Anchor-aided training (af + ab losses) under the mesh."""
     def setup():
-        cfg = Config.fromfile("/root/repo/configs/yolov6s.py")
+        cfg = _small(Config.fromfile("/root/repo/configs/yolov6s.py"))
         model = build_model(cfg, num_classes=NC, fuse_ab=True, deploy=False)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
@@ -131,7 +191,7 @@ def test_spmd_parity_fuse_ab():
 def test_spmd_parity_distill_ns():
     """Self-distillation (teacher fwd in-graph, dual-reg student head)."""
     def setup():
-        cfg = Config.fromfile("/root/repo/configs/yolov6s.py")
+        cfg = _small(Config.fromfile("/root/repo/configs/yolov6s.py"))
         cfg.model.head.use_dfl = True
         cfg.model.head.reg_max = 16
         model = build_model(cfg, num_classes=NC, distill_ns=True, deploy=False)
@@ -150,4 +210,5 @@ def test_spmd_parity_distill_ns():
             img_size=(IMG, IMG), teacher=(t_model, t_variables, distill_loss))
         return step_fn, create_train_state(variables)
 
-    _assert_spmd_parity(setup, use_atss=False, epoch=1.0)
+    _assert_spmd_parity(setup, use_atss=False, epoch=1.0, traj_rtol=0.2,
+                        chaotic=True)
