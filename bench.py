@@ -256,7 +256,7 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
 
     import jax
 
-    n_imgs = max(2 * batch, 64)
+    n_imgs = max(steps * batch, 2 * batch, 64)
     root = os.path.join(tempfile.gettempdir(), f"bench_pipe_{img}_{n_imgs}")
     data_yaml = os.path.join(root, "data.yaml")
     if not os.path.exists(data_yaml):
@@ -266,7 +266,7 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
     data_dict = load_yaml(data_yaml)
 
     cfg = Config.fromfile(find_config("yolov6s"))
-    loader = create_dataloader(
+    loader, _ = create_dataloader(
         data_dict["train"], img, batch, hyp=dict(cfg.data_aug), augment=True,
         data_dict=data_dict, task="train", num_workers=4,
         max_labels=max_labels, seed=0,
@@ -276,7 +276,7 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
     t0 = time.perf_counter()
     n = 0
     batches = []
-    for imgs, targets, _, _ in loader:
+    for imgs, targets, _, _, _ in loader:
         n += imgs.shape[0]
         if len(batches) < steps:
             batches.append((np.asarray(imgs), np.asarray(targets)))
@@ -315,7 +315,7 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
     t0 = time.perf_counter()
     n = 0
     done = 0
-    for imgs, targets, _, _ in loader:
+    for imgs, targets, _, _, _ in loader:
         state, loss, _ = step_fn(
             state, jnp.asarray(np.asarray(imgs)), jnp.asarray(np.asarray(targets)),
             epoch, use_atss=False)
