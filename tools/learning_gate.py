@@ -53,7 +53,60 @@ def get_args_parser(add_help=True):
     p.add_argument("--skip-exact-nms", action="store_true",
                    help="skip the approx-vs-exact NMS delta eval")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--repopt", action="store_true",
+                   help="validate the RepOptimizer recipe end-to-end: a CSLA "
+                        "hyper-search pre-stage produces the scales ckpt, a "
+                        "generated opt config consumes it, and the masked "
+                        "single-branch training must still learn (the "
+                        "recommended TPU recipe, docs/tutorial_repopt.md)")
+    p.add_argument("--hs-conf-file", type=str,
+                   default=osp.join(ROOT, "configs", "repopt", "yolov6n_hs.py"))
+    p.add_argument("--opt-conf-file", type=str,
+                   default=osp.join(ROOT, "configs", "repopt", "yolov6n_opt.py"))
+    p.add_argument("--hs-epochs", type=int, default=0,
+                   help="hyper-search stage epochs (0 = max(6, epochs//4))")
     return p
+
+
+def _repopt_prestage(args, data_yaml, train_cli, LOGGER):
+    """RepOpt step 1: short CSLA hyper-search run -> scales ckpt -> write an
+    opt-stage config pointing at it (reference flow: configs/repopt/*_hs.py
+    trains the search model whose ckpt feeds RepVGGOptimizer via
+    cfg.model.scales, reference yolov6/utils/RepOptimizer.py:150-167)."""
+    import re
+
+    hs_epochs = args.hs_epochs or max(6, args.epochs // 4)
+    hs_args = train_cli.get_args_parser().parse_args([
+        "--data-path", data_yaml,
+        "--conf-file", args.hs_conf_file,
+        "--img-size", str(args.img_size),
+        "--img-floor", str(args.img_size),
+        "--batch-size", str(args.batch_size),
+        "--epochs", str(hs_epochs),
+        "--workers", str(args.workers),
+        "--eval-final-only",
+        "--heavy-eval-range", "0",
+        "--output-dir", osp.join(args.out, "train_hs"),
+        "--name", "hs",
+        "--max-labels", str(args.max_labels),
+        "--seed", str(args.seed),
+        "--log-interval", "20",
+    ] + (["--bf16"] if args.bf16 else []))
+    LOGGER.info(f"RepOpt stage 1/2: hyper-search for {hs_epochs} epochs")
+    train_cli.main(hs_args)
+    scales_ckpt = osp.join(hs_args.save_dir, "weights", "last_ckpt.msgpack")
+    assert osp.exists(scales_ckpt), f"hyper-search ckpt missing: {scales_ckpt}"
+
+    with open(args.opt_conf_file) as f:
+        conf_src = f.read()
+    conf_src, n_sub = re.subn(r"scales\s*=\s*'[^']*'",
+                              f"scales='{scales_ckpt}'", conf_src, count=1)
+    assert n_sub == 1, f"no scales= line found in {args.opt_conf_file}"
+    gen_conf = osp.join(args.out, "repopt_opt_gate.py")
+    with open(gen_conf, "w") as f:
+        f.write(conf_src)
+    LOGGER.info(f"RepOpt stage 2/2 config written: {gen_conf}")
+    return gen_conf
 
 
 def _eval_ckpt(data_yaml, ckpt, conf_file, img_size, batch_size, save_dir,
@@ -91,9 +144,12 @@ def main(args):
         )
 
     train_cli = _load_tool("train")
+    conf_file = args.conf_file
+    if args.repopt:
+        conf_file = _repopt_prestage(args, data_yaml, train_cli, LOGGER)
     train_args = train_cli.get_args_parser().parse_args([
         "--data-path", data_yaml,
-        "--conf-file", args.conf_file,
+        "--conf-file", conf_file,
         "--img-size", str(args.img_size),
         "--img-floor", str(args.img_size),
         "--batch-size", str(args.batch_size),
@@ -122,7 +178,7 @@ def main(args):
         if not osp.exists(ckpt):
             ckpt = osp.join(weights_dir, "last_ckpt.msgpack")
         m50, m5095 = _eval_ckpt(
-            data_yaml, ckpt, args.conf_file, args.img_size, args.batch_size,
+            data_yaml, ckpt, conf_file, args.img_size, args.batch_size,
             osp.join(args.out, f"eval_e{e}"))
         trajectory.append({"epoch": e, "map50": m50, "map50_95": m5095})
         LOGGER.info(f"gate eval epoch {e}: mAP50={m50:.4f} mAP50-95={m5095:.4f}")
@@ -143,7 +199,7 @@ def main(args):
         if not osp.exists(ckpt):
             ckpt = osp.join(weights_dir, "last_ckpt.msgpack")
         m50_exact, m5095_exact = _eval_ckpt(
-            data_yaml, ckpt, args.conf_file, args.img_size, args.batch_size,
+            data_yaml, ckpt, conf_file, args.img_size, args.batch_size,
             osp.join(args.out, "eval_exact"),
             max_nms=30000, row_select="topk",
         )
