@@ -44,6 +44,22 @@ def test_synth_dataset_generator(tmp_path):
             assert all(0.0 <= float(v) <= 1.0 for v in vals[1:])
 
 
+def test_gate_threshold_tiers():
+    """The TPU-recipe tier (epochs >= 30) must pin the tightened regression
+    bar (0.75/0.20 — measured runs land at 0.88-0.94, docs/learning_gate.md);
+    the CPU micro tier stays loose (0.50/0.10)."""
+    gate = _load_gate()
+    for epochs, want_map50, want_gain in ((40, 0.75, 0.20), (10, 0.50, 0.10)):
+        args = gate.resolve_thresholds(gate.get_args_parser().parse_args(
+            ["--out", "/tmp/x", "--epochs", str(epochs)]))
+        assert args.min_map50 == want_map50 and args.min_gain == want_gain
+    # explicit flags always win over the tier defaults
+    args = gate.resolve_thresholds(gate.get_args_parser().parse_args(
+        ["--out", "/tmp/x", "--epochs", "40", "--min-map50", "0.3",
+         "--min-gain", "0.05"]))
+    assert args.min_map50 == 0.3 and args.min_gain == 0.05
+
+
 def test_learning_gate_learns(tmp_path):
     """Train a real yolov6n at tiny scale on trivially-easy single-shape
     images; mAP50 must clear chance and improve from first to last ckpt.

@@ -44,10 +44,16 @@ def get_args_parser(add_help=True):
     p.add_argument("--workers", type=int, default=2)
     p.add_argument("--max-labels", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--min-map50", type=float, default=0.50,
-                   help="gate: final mAP50 must exceed this (chance ~ 0)")
-    p.add_argument("--min-gain", type=float, default=0.10,
-                   help="gate: final mAP50 must beat the earliest ckpt by this")
+    p.add_argument("--min-map50", type=float, default=None,
+                   help="gate: final mAP50 must exceed this (chance ~ 0). "
+                        "Default is tiered to the run size: 0.75 for the "
+                        "TPU-recipe tier (epochs >= 30; measured runs land "
+                        "at 0.88-0.94, docs/learning_gate.md), 0.50 below — "
+                        "so a real assigner/loss/NMS regression fails the "
+                        "gate instead of passing at chance+")
+    p.add_argument("--min-gain", type=float, default=None,
+                   help="gate: final mAP50 must beat the earliest ckpt by "
+                        "this (default 0.20 for epochs >= 30, 0.10 below)")
     p.add_argument("--eval-points", type=int, default=3,
                    help="number of checkpoints (incl. final) to evaluate")
     p.add_argument("--skip-exact-nms", action="store_true",
@@ -66,6 +72,18 @@ def get_args_parser(add_help=True):
     p.add_argument("--hs-epochs", type=int, default=0,
                    help="hyper-search stage epochs (0 = max(6, epochs//4))")
     return p
+
+
+def resolve_thresholds(args):
+    """Tiered gate bar: TPU-recipe runs (epochs >= 30) must clear 0.75/0.20
+    (measured runs land at 0.88-0.94, docs/learning_gate.md) so a real
+    assigner/loss/NMS regression FAILS instead of passing at chance+;
+    the CPU micro tier stays loose at 0.50/0.10."""
+    if args.min_map50 is None:
+        args.min_map50 = 0.75 if args.epochs >= 30 else 0.50
+    if args.min_gain is None:
+        args.min_gain = 0.20 if args.epochs >= 30 else 0.10
+    return args
 
 
 def _repopt_prestage(args, data_yaml, train_cli, LOGGER):
@@ -132,6 +150,8 @@ def _load_tool(name):
 def main(args):
     from yolov6_tpu.data.synth_detect import generate_synth_dataset
     from yolov6_tpu.utils.events import LOGGER
+
+    resolve_thresholds(args)
 
     os.makedirs(args.out, exist_ok=True)
     data_root = osp.join(args.out, "dataset")

@@ -69,6 +69,8 @@ def _calib_batches(args, input_shape):
         )
         if not paths:
             raise SystemExit(f"no images under {args.calib_dir}")
+        requested = args.calib_steps * b
+        n_real = 0
         batch = []
         for path in paths:
             img = cv2.imread(path)
@@ -76,11 +78,21 @@ def _calib_batches(args, input_shape):
                 continue
             img = letterbox(img, (h, w), auto=False)[0]
             batch.append(img[:, :, ::-1].astype(np.float32) / 255.0)
+            n_real += 1
             if len(batch) == b:
                 yield np.stack(batch)
                 batch = []
         if batch:
+            # pad the tail batch by repeating the last image; make silent
+            # under-coverage visible (a near-empty calib-dir would otherwise
+            # let the duplicated tail dominate the calibration statistics)
             yield np.stack(batch + [batch[-1]] * (b - len(batch)))
+        if n_real < requested:
+            LOGGER.warning(
+                f"calibration saw only {n_real} real images "
+                f"(requested calib_steps*batch = {requested}); "
+                f"{'tail batch padded by repetition — ' if batch else ''}"
+                "ranges may under-cover the data distribution")
     else:
         LOGGER.warning("no --calib-dir: calibrating on RANDOM data (layout "
                        "check only, like the reference example's torch.rand)")

@@ -305,6 +305,7 @@ class TrainValDataset:
             return self.imgs[index], self.imgs_hw0[index], self.imgs_hw[index]
         path = self.img_paths[index]
         im = None
+        reduced = False
         if (
             self.augment and not shrink_size
             and path.lower().endswith((".jpg", ".jpeg"))
@@ -321,6 +322,7 @@ class TrainValDataset:
                     red, flag = n, f
             if flag is not None:
                 im = cv2.imread(path, flag)
+                reduced = im is not None
         if im is None:
             im = cv2.imread(path)
         if im is None:
@@ -328,6 +330,13 @@ class TrainValDataset:
 
             im = cv2.cvtColor(np.asarray(Image.open(path)), cv2.COLOR_RGB2BGR)
         h0, w0 = im.shape[:2]
+        if reduced:
+            # (h0, w0) is the 'original shape' contract; with a reduced-scale
+            # decode the decoded dims are NOT the source dims — report the
+            # true size from the scan cache (shapes stores (w, h)).
+            w_true, h_true = self.shapes[index]
+            if w_true > 0 and h_true > 0:
+                h0, w0 = int(h_true), int(w_true)
         if self.specific_shape:
             ratio = min(self.target_width / w0, self.target_height / h0)
         elif shrink_size:

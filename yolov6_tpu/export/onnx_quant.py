@@ -318,6 +318,15 @@ def remove_qdq(model_bytes: bytes):
                     zp = np.asarray(zp).reshape(shape) if np.ndim(zp) else zp
                 inits[node.outputs[0]] = (w - zp) * scale
                 continue
+            if inp not in alias:
+                # The paired QuantizeLinear was NOT removed (non-scalar or
+                # computed scale): aliasing this DQ away would silently route
+                # an int8 tensor into fp32 consumers. Fail loudly instead.
+                raise ValueError(
+                    f"remove_qdq: DequantizeLinear '{node.name}' consumes "
+                    f"'{inp}' whose QuantizeLinear was kept (non-scalar or "
+                    "non-initializer scale) — unhandled QDQ pattern"
+                )
             alias[node.outputs[0]] = inp
             continue
         kept.append(node)

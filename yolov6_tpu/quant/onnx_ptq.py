@@ -54,8 +54,15 @@ def calibrate_onnx(
     reference ProgramEntrance.py:141-158)."""
     runner = OnnxRunner(model_bytes)
     amax: Dict[str, float] = {}
-    # graph inputs are activations too (TRT sets their range from the JSON)
+    # graph inputs are activations too (TRT sets their range from the JSON).
+    # Each calibration step feeds ONE array, so a multi-input graph would
+    # both fail at runner(batch) and record the wrong per-input ranges here.
     input_names = list(runner.input_names)
+    if len(input_names) != 1:
+        raise ValueError(
+            f"calibrate_onnx supports single-input models, got inputs "
+            f"{input_names}"
+        )
 
     def observe(name, val, node):
         a = np.asarray(val)
@@ -102,6 +109,12 @@ def insert_activation_qdq(
     serialized quantized model (the PPQ TRT_INT8 GraphExporter analog)."""
     m = parse_model(model_bytes)
     inits = m.initializers
+    # The emitted QuantizeLinear stores int8 (saturates at ±127) regardless
+    # of num_bits, so sub-8-bit here would coarsen the grid without
+    # narrowing the clipping range — not true sub-8-bit quantization.
+    if num_bits != 8:
+        raise ValueError("insert_activation_qdq supports num_bits=8 only "
+                         "(QDQ zero-point/storage is int8)")
     qmax = 2.0 ** (num_bits - 1) - 1
     zp_name = "qdq_zero_point"
     if zp_name not in inits:
