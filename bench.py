@@ -266,22 +266,35 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
     data_dict = load_yaml(data_yaml)
 
     cfg = Config.fromfile(find_config("yolov6s"))
-    loader, _ = create_dataloader(
-        data_dict["train"], img, batch, hyp=dict(cfg.data_aug), augment=True,
-        data_dict=data_dict, task="train", num_workers=4,
-        max_labels=max_labels, seed=0,
-    )
 
-    # loader-only: one full pass
-    t0 = time.perf_counter()
-    n = 0
-    batches = []
-    for imgs, targets, _, _, _ in loader:
-        n += imgs.shape[0]
-        if len(batches) < steps:
-            batches.append((np.asarray(imgs), np.asarray(targets)))
-    loader_dt = time.perf_counter() - t0
-    loader_fps = n / loader_dt
+    def make_loader(**kw):
+        return create_dataloader(
+            data_dict["train"], img, batch, hyp=dict(cfg.data_aug), augment=True,
+            data_dict=data_dict, task="train", num_workers=2,
+            max_labels=max_labels, seed=0, **kw,
+        )
+
+    def loader_pass(loader, cap=None):
+        t0 = time.perf_counter()
+        n = 0
+        last = None
+        for imgs, targets, _, _, _ in loader:
+            n += imgs.shape[0]
+            last = (np.asarray(imgs), np.asarray(targets))
+            if cap and n >= cap:
+                break
+        return n / (time.perf_counter() - t0), last
+
+    # uncached tier: native fused aug + libjpeg decode, no image cache
+    loader_cold, _ = make_loader()
+    nocache_fps, _ = loader_pass(loader_cold)
+
+    # production tier: decoded-image disk cache (page-cache-served .npy);
+    # pass 1 fills the cache, pass 2 is the steady state every epoch >= 2 sees
+    loader, _ = make_loader(cache_type="disk")
+    loader_pass(loader)  # fill
+    loader_fps, b0 = loader_pass(loader)
+    batches = [b0] * steps
 
     # device step (same construction as train_fps, S @640 bf16)
     model = build_model(cfg, num_classes=4, deploy=False, dtype=jnp.bfloat16)
@@ -311,24 +324,48 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
                              use_atss=False)
     float(loss)  # compile + settle
 
-    # end-to-end: fresh loader pass overlapped with async-dispatched steps
+    # resident-chain device step: batch already on device, K chained steps,
+    # one scalar fetch to drain (the fetch awaits real execution; a bare
+    # block_until_ready through the tunnel does not)
+    imd, tgd = jax.device_put(im0), jax.device_put(tg0)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss, _ = step_fn(state, imd, tgd, epoch, use_atss=False)
+    float(loss)
+    step_fps = steps * batch / (time.perf_counter() - t0)
+
+    # host->device transfer: K sequential puts of fresh buffers. Through the
+    # axon tunnel this is ~45 MB/s and is the e2e bound; on a TPU-VM host
+    # the same batch rides PCIe/DMA and is negligible next to the step.
+    bufs = [(im0 + i).astype(im0.dtype) for i in range(3)]
+    t0 = time.perf_counter()
+    puts = [jax.device_put(b) for b in bufs]
+    _ = float(jnp.sum(puts[-1][0, 0, 0]))  # drain
+    put_fps = len(bufs) * batch / (time.perf_counter() - t0)
+
+    # end-to-end: fresh cached-loader pass; transfers prefetched 2 batches
+    # ahead of dispatch (data_load.prefetch_to_device — the engine.py path)
+    from yolov6_tpu.data.data_load import prefetch_to_device
+
     t0 = time.perf_counter()
     n = 0
-    done = 0
-    for imgs, targets, _, _, _ in loader:
-        state, loss, _ = step_fn(
-            state, jnp.asarray(np.asarray(imgs)), jnp.asarray(np.asarray(targets)),
-            epoch, use_atss=False)
-        n += imgs.shape[0]
-        done += 1
-        if done >= 2 * steps:
-            break
+    for imgs, targets, _, _, _ in prefetch_to_device(iter(loader), n_prefetch=2):
+        state, loss, _ = step_fn(state, imgs, targets, epoch, use_atss=False)
+        n += int(imgs.shape[0])
     float(loss)  # drain the device pipeline
     e2e_dt = time.perf_counter() - t0
     e2e_fps = n / e2e_dt
+    rates = {"loader": loader_fps, "transfer": put_fps, "device_step": step_fps}
     return {
         "loader_imgs_s": round(loader_fps, 2),
+        "loader_imgs_s_nocache": round(nocache_fps, 2),
+        "device_step_imgs_s": round(step_fps, 2),
+        "transfer_imgs_s": round(put_fps, 2),
         "end_to_end_imgs_s": round(e2e_fps, 2),
+        "bound": min(rates, key=rates.get),
+        # what e2e becomes when the batch transfer is local DMA instead of
+        # the dev-env tunnel (real TPU-VM): min(loader, device step)
+        "projected_tpuvm_imgs_s": round(min(loader_fps, step_fps), 2),
         "loader_share": round(min(1.0, e2e_fps / max(loader_fps, 1e-9)), 3),
     }
 

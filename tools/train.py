@@ -55,6 +55,9 @@ def get_args_parser(add_help=True):
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--cache-ram", action="store_true")
+    parser.add_argument("--cache", default=None, choices=["ram", "disk"],
+                        help="decoded-image cache tier (disk = per-image .npy "
+                             "served from the page cache; TPU-host extension)")
     parser.add_argument("--max-labels", type=int, default=120,
                         help="fixed per-image label padding for the jit step")
     parser.add_argument("--seed", type=int, default=1)

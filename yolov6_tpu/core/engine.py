@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolov6_tpu.core.train_step import TrainState, create_train_state, make_train_step
-from yolov6_tpu.data.data_load import create_dataloader
+from yolov6_tpu.data.data_load import create_dataloader, prefetch_to_device
 from yolov6_tpu.losses.loss import ComputeLoss
 from yolov6_tpu.models.yolo import build_model
 from yolov6_tpu.parallel import mesh as pmesh
@@ -327,7 +327,8 @@ class Trainer:
             num_workers=args.workers, shuffle=True,
             check_images=args.check_images, check_labels=args.check_labels,
             specific_shape=args.specific_shape, height=args.height, width=args.width,
-            cache_ram=args.cache_ram, max_labels=args.max_labels,
+            cache_ram=args.cache_ram, cache_type=getattr(args, "cache", None),
+            max_labels=args.max_labels,
             shard_id=shard_id, num_shards=num_shards,
         )
         # every host gets a val shard: in-training eval is collective — each
@@ -412,19 +413,25 @@ class Trainer:
     def train_one_epoch(self, epoch_num):
         use_atss = epoch_num < self.losses["main"].warmup_epoch
         epoch_arr = jnp.asarray(epoch_num, jnp.float32)
-        for step, (imgs, labels, paths, shapes, n_valid) in enumerate(self.train_loader):
+        # transfers are issued up to 2 batches ahead of the consumer so the
+        # host->device copy of batch i+1 rides under the step of batch i
+        # (the torch analog: pin_memory + non_blocking H2D, reference
+        # data_load.py:66-73 worker pool + engine.py prepro_data)
+        batches = prefetch_to_device(
+            self.train_loader, n_prefetch=2, sharding=pmesh.batch_sharding(self.mesh)
+        )
+        for step, (imgs, labels, paths, shapes, n_valid) in enumerate(batches):
             if (
                 step == 0 and self.main_process and self.tblogger
                 and getattr(self.args, "write_trainbatch_tb", False)
             ):
                 from yolov6_tpu.utils.events import write_tbimg
 
-                mosaic = self.plot_train_batch(imgs, labels, paths)
+                mosaic = self.plot_train_batch(np.asarray(imgs), np.asarray(labels), paths)
                 write_tbimg(self.tblogger, mosaic,
                             step + self.max_stepnum * epoch_num, type="train")
-            batch = pmesh.shard_batch(self.mesh, (jnp.asarray(imgs), jnp.asarray(labels)))
             self.state, loss, components = self.train_step(
-                self.state, batch[0], batch[1], epoch_arr, use_atss=use_atss
+                self.state, imgs, labels, epoch_arr, use_atss=use_atss
             )
             # Running mean stays ON DEVICE (tiny async jnp ops): a per-step
             # np.asarray would block the host on every dispatch and stop it

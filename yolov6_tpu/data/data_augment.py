@@ -43,6 +43,22 @@ def augment_hsv(im: np.ndarray, hgain=0.5, sgain=0.5, vgain=0.5) -> None:
     cv2.cvtColor(im_hsv, cv2.COLOR_HSV2BGR, dst=im)
 
 
+def augment_hsv_rgb(im: np.ndarray, gains) -> None:
+    """In-place HSV jitter for an RGB buffer with PRE-DRAWN gains — the
+    native train path's twin of augment_hsv (which takes BGR and draws its
+    own gains). cv2's RGB2HSV produces the same H/S/V planes as BGR2HSV on
+    the BGR-ordered buffer, so the jitter distribution is identical."""
+    if gains is None:
+        return
+    hue, sat, val = cv2.split(cv2.cvtColor(im, cv2.COLOR_RGB2HSV))
+    x = np.arange(0, 256, dtype=np.float64)
+    lut_hue = ((x * gains[0]) % 180).astype(im.dtype)
+    lut_sat = np.clip(x * gains[1], 0, 255).astype(im.dtype)
+    lut_val = np.clip(x * gains[2], 0, 255).astype(im.dtype)
+    im_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+    cv2.cvtColor(im_hsv, cv2.COLOR_HSV2RGB, dst=im)
+
+
 def letterbox(
     im: np.ndarray,
     new_shape=(640, 640),
@@ -119,28 +135,72 @@ def get_transform_matrix(img_shape, new_shape, degrees, scale, shear, translate)
     return T @ S @ R @ C, s
 
 
+def affine_labels(labels, M, s, width, height):
+    """Label half of random_affine (reference: data_augment.py:96-113):
+    transform xyxy corners by M, re-box, clip, candidate-filter. Shared by
+    the cv2 path below and the fused native kernel path (data/native_aug.py),
+    so both produce identical label geometry."""
+    n = len(labels)
+    if not n:
+        return labels
+    xy = np.ones((n * 4, 3))
+    xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
+    xy = (xy @ M.T)[:, :2].reshape(n, 8)
+    x = xy[:, [0, 2, 4, 6]]
+    y = xy[:, [1, 3, 5, 7]]
+    new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
+    new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+    new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+    keep = box_candidates(box1=labels[:, 1:5].T * s, box2=new.T, area_thr=0.1)
+    labels = labels[keep]
+    labels[:, 1:5] = new[keep]
+    return labels
+
+
 def random_affine(img, labels=(), degrees=10, translate=0.1, scale=0.1, shear=10, new_shape=(640, 640)):
     """Warp image + xyxy labels (col 0 is class) (reference: data_augment.py:77-113)."""
-    n = len(labels)
     height, width = (new_shape, new_shape) if isinstance(new_shape, int) else new_shape
 
     M, s = get_transform_matrix(img.shape[:2], (height, width), degrees, scale, shear, translate)
     if (M != np.eye(3)).any():
         img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
 
-    if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = labels[:, [1, 2, 3, 4, 1, 4, 3, 2]].reshape(n * 4, 2)
-        xy = (xy @ M.T)[:, :2].reshape(n, 8)
-        x = xy[:, [0, 2, 4, 6]]
-        y = xy[:, [1, 3, 5, 7]]
-        new = np.concatenate((x.min(1), y.min(1), x.max(1), y.max(1))).reshape(4, n).T
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        keep = box_candidates(box1=labels[:, 1:5].T * s, box2=new.T, area_thr=0.1)
-        labels = labels[keep]
-        labels[:, 1:5] = new[keep]
+    labels = affine_labels(labels, M, s, width, height)
     return img, labels
+
+
+def mosaic_placement(i, xc, yc, w, h, target_height, target_width):
+    """Quadrant placement of mosaic image i (reference: data_augment.py:163-176).
+    Returns (x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b): the canvas rectangle
+    and the matching source-crop rectangle. Shared by the cv2 compose below
+    and the fused native kernel (data/native_aug.py)."""
+    if i == 0:  # top left
+        x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+        x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+    elif i == 1:  # top right
+        x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, target_width * 2), yc
+        x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+    elif i == 2:  # bottom left
+        x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(target_height * 2, yc + h)
+        x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+    else:  # bottom right
+        x1a, y1a, x2a, y2a = xc, yc, min(xc + w, target_width * 2), min(target_height * 2, yc + h)
+        x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+    return x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b
+
+
+def mosaic_labels_shift(lb, w, h, padw, padh):
+    """Normalized-xywh labels -> absolute xyxy shifted into the mosaic canvas
+    (reference: data_augment.py:181-188). Shared with data/native_aug.py."""
+    lb = lb.copy()
+    if lb.size:
+        boxes = np.copy(lb[:, 1:])
+        boxes[:, 0] = w * (lb[:, 1] - lb[:, 3] / 2) + padw
+        boxes[:, 1] = h * (lb[:, 2] - lb[:, 4] / 2) + padh
+        boxes[:, 2] = w * (lb[:, 1] + lb[:, 3] / 2) + padw
+        boxes[:, 3] = h * (lb[:, 2] + lb[:, 4] / 2) + padh
+        lb[:, 1:] = boxes
+    return lb
 
 
 def mosaic_augmentation(
@@ -162,31 +222,11 @@ def mosaic_augmentation(
 
     for i in range(4):
         img, h, w = imgs[i], hs[i], ws[i]
-        if i == 0:  # top left
-            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-        elif i == 1:  # top right
-            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, target_width * 2), yc
-            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-        elif i == 2:  # bottom left
-            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(target_height * 2, yc + h)
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-        else:  # bottom right
-            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, target_width * 2), min(target_height * 2, yc + h)
-            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-
+        x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b = mosaic_placement(
+            i, xc, yc, w, h, target_height, target_width
+        )
         img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
-        padw, padh = x1a - x1b, y1a - y1b
-
-        lb = labels[i].copy()
-        if lb.size:
-            boxes = np.copy(lb[:, 1:])
-            boxes[:, 0] = w * (lb[:, 1] - lb[:, 3] / 2) + padw
-            boxes[:, 1] = h * (lb[:, 2] - lb[:, 4] / 2) + padh
-            boxes[:, 2] = w * (lb[:, 1] + lb[:, 3] / 2) + padw
-            boxes[:, 3] = h * (lb[:, 2] + lb[:, 4] / 2) + padh
-            lb[:, 1:] = boxes
-        labels4.append(lb)
+        labels4.append(mosaic_labels_shift(labels[i], w, h, x1a - x1b, y1a - y1b))
 
     labels4 = np.concatenate(labels4, 0)
     labels4[:, 1::2] = np.clip(labels4[:, 1::2], 0, 2 * target_width)

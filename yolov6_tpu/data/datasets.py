@@ -14,6 +14,7 @@ import json
 import os
 import os.path as osp
 import random
+import threading
 from multiprocessing.pool import ThreadPool
 from pathlib import Path
 from typing import List, Optional, Tuple
@@ -124,6 +125,7 @@ class TrainValDataset:
         height: Optional[int] = None,
         width: Optional[int] = None,
         cache_ram: bool = False,
+        cache_type: Optional[str] = None,
     ):
         self.img_dir = img_dir
         self.img_size = img_size
@@ -138,16 +140,41 @@ class TrainValDataset:
         self.specific_shape = specific_shape
         self.target_height = height
         self.target_width = width
-        self.cache_ram = cache_ram
+        # cache tiers for the decoded+pre-resized image (decode is the
+        # 1-core-host bottleneck; see docs/Test_speed.md train-pipeline
+        # section): "ram" mirrors the reference --cache-ram
+        # (reference datasets.py:116-160); "disk" is a TPU-host extension —
+        # per-image .npy blobs served from the page cache, bounded RAM.
+        if cache_type is None and cache_ram:
+            cache_type = "ram"
+        self.cache_type = cache_type
+        self.cache_ram = cache_type == "ram"
+
+        # fused native augmentation path (C++ mosaic/affine/flip kernel +
+        # RGB HSV; data/native_aug.py). Distribution-identical to the cv2
+        # path; disable with YOLOV6_NATIVE_AUG=0 for A/B runs.
+        self._native_aug = False
+        if augment and os.environ.get("YOLOV6_NATIVE_AUG", "1") != "0":
+            from yolov6_tpu.data import native_aug as _na
+
+            self._native_aug = _na.available()
 
         self.img_paths, self.labels, self.shapes = self._load_annotations(
             img_dir, check_images, check_labels
         )
         self.n = len(self.img_paths)
-        if cache_ram:
+        if self.cache_type == "ram":
             self.imgs: List = [None] * self.n
             self.imgs_hw0: List = [None] * self.n
             self.imgs_hw: List = [None] * self.n
+        elif self.cache_type == "disk":
+            base = osp.dirname(osp.dirname(self.img_paths[0])) or "."
+            tgt = (max(self.target_height or 0, self.target_width or 0)
+                   if specific_shape else img_size)
+            self._disk_cache_dir = osp.join(
+                base, f".tpu_img_cache_{osp.basename(str(img_dir))}_{tgt}"
+            )
+            os.makedirs(self._disk_cache_dir, exist_ok=True)
 
         if self.rect:
             self._setup_rect_batches()
@@ -353,6 +380,134 @@ class TrainValDataset:
             self.imgs[index], self.imgs_hw0[index], self.imgs_hw[index] = im, (h0, w0), im.shape[:2]
         return im, (h0, w0), im.shape[:2]
 
+    # ------------------------------------------------- native train path
+
+    def _true_size(self, index) -> Tuple[int, int]:
+        """(h0, w0) from the scan cache, header-read on (0, 0) misses."""
+        w0, h0 = self.shapes[index]
+        if w0 <= 0 or h0 <= 0:
+            shape, _ = check_image(self.img_paths[index])
+            if shape is None:
+                raise FileNotFoundError(f"unreadable image {self.img_paths[index]}")
+            self.shapes[index] = shape
+            w0, h0 = shape
+        return int(h0), int(w0)
+
+    def _load_image_rgb(self, index):
+        """load_image twin for the fused native augment path: decoded +
+        pre-resized RGB u8 (the native decoder emits RGB; the fused kernel
+        output feeds the model directly, no BGR pass anywhere). Serves from
+        the RAM/disk cache tiers when enabled. Returns (im, (h0, w0), (h, w)).
+        """
+        if self.cache_type == "ram" and self.imgs[index] is not None:
+            return self.imgs[index], self.imgs_hw0[index], self.imgs_hw[index]
+        path = self.img_paths[index]
+        cache_file = None
+        if self.cache_type == "disk":
+            stem = osp.splitext(osp.basename(path))[0]
+            cache_file = osp.join(self._disk_cache_dir, stem + ".rgb.npy")
+            if osp.exists(cache_file):
+                try:
+                    # mmap: the fused kernel gathers pixels straight out of
+                    # the page cache — no per-image copy on the 1-core host
+                    im = np.load(cache_file, mmap_mode="r")
+                    h0, w0 = self._true_size(index)
+                    return im, (h0, w0), im.shape[:2]
+                except Exception:
+                    pass  # torn/corrupt entry: fall through to re-decode
+
+        h0, w0 = self._true_size(index)
+        if self.specific_shape:
+            ratio = min(self.target_width / w0, self.target_height / h0)
+            target = max(self.target_height, self.target_width)
+        else:
+            ratio = self.img_size / max(h0, w0)
+            target = self.img_size
+        dst_h, dst_w = int(h0 * ratio), int(w0 * ratio)
+
+        im = None
+        if path.lower().endswith((".jpg", ".jpeg")):
+            from yolov6_tpu import native
+
+            denom = 1
+            for n in (2, 4, 8):  # IMREAD_REDUCED rule (load_image above)
+                if max(h0, w0) / n >= target:
+                    denom = n
+            im = native.decode_jpeg_resize_native(path, denom, dst_h, dst_w)
+        if im is None:  # non-JPEG or decode failure: cv2/PIL fallback
+            bgr = cv2.imread(path)
+            if bgr is None:
+                from PIL import Image
+
+                im = np.asarray(Image.open(path).convert("RGB"))
+            else:
+                im = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            if im.shape[:2] != (dst_h, dst_w):
+                im = cv2.resize(im, (dst_w, dst_h), interpolation=cv2.INTER_LINEAR)
+
+        if self.cache_type == "ram":
+            self.imgs[index] = im
+            self.imgs_hw0[index] = (h0, w0)
+            self.imgs_hw[index] = im.shape[:2]
+        elif cache_file is not None:
+            tmp = cache_file + f".tmp{os.getpid()}_{threading.get_ident()}"
+            try:
+                np.save(tmp, im)
+                os.replace(tmp + ".npy", cache_file)
+            except OSError:
+                pass
+        return im, (h0, w0), im.shape[:2]
+
+    def _one_mosaic_native(self, index, shape, flip_lr, flip_ud):
+        """One fused-native mosaic draw (same index/param distributions as
+        get_mosaic + mosaic_augmentation). Returns (img RGB, labels xyxy)."""
+        from yolov6_tpu.data import native_aug as na
+
+        indices = [index] + random.choices(range(self.n), k=3)
+        random.shuffle(indices)
+        imgs, hs, ws, lbs = [], [], [], []
+        for i in indices:
+            img, _, (h, w) = self._load_image_rgb(i)
+            imgs.append(img)
+            hs.append(h)
+            ws.append(w)
+            lbs.append(self.labels[i])
+        return na.mosaic_affine_native(
+            shape, imgs, hs, ws, lbs, self.hyp,
+            specific_shape=self.specific_shape,
+            target_height=self.target_height or self.img_size,
+            target_width=self.target_width or self.img_size,
+            flip_lr=flip_lr, flip_ud=flip_ud,
+        )
+
+    def _mosaic_native_sample(self, index, shape):
+        """Native twin of the mosaic(+mixup)+HSV+flip train branch.
+
+        Flips are drawn up front and fused into the warp kernel (they
+        commute with HSV and mixup); HSV runs AFTER the optional mixup
+        blend, like the reference (general_augment follows mixup). Label
+        flips are applied by __getitem__ after normalization, matching
+        general_augment's order. Returns (img, labels_xyxy, flip_lr, flip_ud).
+        """
+        from yolov6_tpu.data import native_aug as na
+        from yolov6_tpu.data.data_augment import augment_hsv_rgb
+        from yolov6_tpu import native
+
+        flip_lr, flip_ud = na.draw_flips(self.hyp)
+        img, labels = self._one_mosaic_native(index, shape, flip_lr, flip_ud)
+        if random.random() < self.hyp.get("mixup", 0.0):
+            img2, labels2 = self._one_mosaic_native(
+                random.randint(0, self.n - 1), shape, flip_lr, flip_ud
+            )
+            r = np.random.beta(32.0, 32.0)  # reference data_augment.py:61-66
+            native.blend_native(img, img2, r)
+            labels = np.concatenate((labels, labels2), 0)
+        augment_hsv_rgb(
+            img,
+            na.draw_hsv_gains(self.hyp),
+        )
+        return img, labels, flip_lr, flip_ud
+
     def get_mosaic(self, index, shape):
         indices = [index] + random.choices(range(self.n), k=3)
         random.shuffle(indices)
@@ -390,19 +545,39 @@ class TrainValDataset:
             else self.batch_shapes[self.batch_indices[index]] if self.rect
             else self.img_size
         )
+        shrink = self.hyp.get("shrink_size") if self.hyp else None
+        # native path: fused C++ mosaic/affine/flip kernel + RGB-in HSV;
+        # pixel flips already applied, label flips deferred to below
+        native_flips = None
 
         if self.augment and random.random() < self.hyp.get("mosaic", 0.0):
-            img, labels = self.get_mosaic(index, target_shape)
             shapes = None
-            if random.random() < self.hyp.get("mixup", 0.0):
-                img_other, labels_other = self.get_mosaic(
-                    random.randint(0, self.n - 1), target_shape
+            if self._native_aug:
+                img, labels, flip_lr, flip_ud = self._mosaic_native_sample(
+                    index, target_shape
                 )
-                img, labels = mixup(img, labels, img_other, labels_other)
+                native_flips = (flip_lr, flip_ud)
+            else:
+                img, labels = self.get_mosaic(index, target_shape)
+                if random.random() < self.hyp.get("mixup", 0.0):
+                    img_other, labels_other = self.get_mosaic(
+                        random.randint(0, self.n - 1), target_shape
+                    )
+                    img, labels = mixup(img, labels, img_other, labels_other)
         else:
-            shrink = self.hyp.get("shrink_size") if self.hyp else None
-            img, (h0, w0), (h, w) = self.load_image(index, shrink)
-            img, ratio, pad = letterbox(img, target_shape, auto=False, scaleup=self.augment)
+            use_native = self._native_aug and self.augment and not shrink
+            if use_native:
+                from yolov6_tpu.native import letterbox_native
+
+                img, (h0, w0), (h, w) = self._load_image_rgb(index)
+                new_shape = (
+                    (target_shape, target_shape) if isinstance(target_shape, int)
+                    else tuple(target_shape)
+                )
+                img, ratio, pad = letterbox_native(img, new_shape, scaleup=True)
+            else:
+                img, (h0, w0), (h, w) = self.load_image(index, shrink)
+                img, ratio, pad = letterbox(img, target_shape, auto=False, scaleup=self.augment)
             shapes = (h0, w0), ((h * ratio / h0, w * ratio / w0), pad)
 
             labels = self.labels[index].copy()
@@ -416,14 +591,25 @@ class TrainValDataset:
                 labels[:, 1:] = boxes
 
             if self.augment:
-                img, labels = random_affine(
-                    img, labels,
+                aug_kw = dict(
                     degrees=self.hyp.get("degrees", 0.0),
                     translate=self.hyp.get("translate", 0.1),
                     scale=self.hyp.get("scale", 0.5),
                     shear=self.hyp.get("shear", 0.0),
                     new_shape=target_shape,
                 )
+                if use_native:
+                    from yolov6_tpu.data import native_aug as na
+                    from yolov6_tpu.data.data_augment import augment_hsv_rgb
+
+                    flip_lr, flip_ud = na.draw_flips(self.hyp)
+                    img, labels = na.affine_hsv_native(
+                        img, labels, flip_lr=flip_lr, flip_ud=flip_ud, **aug_kw
+                    )
+                    augment_hsv_rgb(img, na.draw_hsv_gains(self.hyp))
+                    native_flips = (flip_lr, flip_ud)
+                else:
+                    img, labels = random_affine(img, labels, **aug_kw)
 
         if len(labels):
             h, w = img.shape[:2]
@@ -437,9 +623,19 @@ class TrainValDataset:
             labels[:, 1:] = boxes
 
         if self.augment:
-            img, labels = self.general_augment(img, labels)
+            if native_flips is not None:
+                # pixels were flipped inside the kernel; mirror the labels
+                # here, in general_augment's order (flipud then fliplr)
+                flip_lr, flip_ud = native_flips
+                if flip_ud and len(labels):
+                    labels[:, 2] = 1 - labels[:, 2]
+                if flip_lr and len(labels):
+                    labels[:, 1] = 1 - labels[:, 1]
+            else:
+                img, labels = self.general_augment(img, labels)
 
-        img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, keep HWC
+        if native_flips is None:
+            img = np.ascontiguousarray(img[:, :, ::-1])  # BGR -> RGB, keep HWC
         return img, labels.astype(np.float32), self.img_paths[index], shapes
 
     # --------------------------------------------------------- COCO GT json

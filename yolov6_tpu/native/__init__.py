@@ -60,6 +60,23 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_uint8,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.yolov6_decode_jpeg_resize.restype = ctypes.c_int
+    lib.yolov6_decode_jpeg_resize.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
+    lib.yolov6_train_aug.restype = None
+    lib.yolov6_train_aug.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint8,
+    ]
+    lib.yolov6_blend.restype = None
+    lib.yolov6_blend.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_double,
+    ]
     _lib = lib
     return lib
 
@@ -172,3 +189,68 @@ def batch_decode_letterbox_native(
         ratios.ctypes.data, pads.ctypes.data, src_hw.ctypes.data, n_threads,
     )
     return out, ratios, pads, src_hw, failed
+
+
+def decode_jpeg_resize_native(
+    path: str, denom: int, dst_h: int, dst_w: int
+) -> Optional[np.ndarray]:
+    """Decode a JPEG at DCT scale 1/denom and bilinear-resize to
+    (dst_h, dst_w). RGB u8 or None on failure/missing lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty((dst_h, dst_w, 3), np.uint8)
+    rc = lib.yolov6_decode_jpeg_resize(
+        path.encode(), int(denom), dst_h, dst_w, out.ctypes.data
+    )
+    return out if rc == 0 else None
+
+
+def train_aug_native(
+    srcs,
+    place: np.ndarray,
+    minv: np.ndarray,
+    out_shape: Tuple[int, int],
+    hsv_gains=None,
+    flip_lr: bool = False,
+    flip_ud: bool = False,
+    pad_value: int = 114,
+) -> Optional[np.ndarray]:
+    """Fused mosaic + inverse-affine warp + HSV jitter + flips (train_aug.cc).
+
+    srcs: list of contiguous RGB u8 HxWx3 arrays (1..8 regions).
+    place: int32 [n, 6] = (x1a, y1a, x2a, y2a, x1b, y1b) canvas placements.
+    minv: float64 [6] inverse affine (output pixel -> canvas coords).
+    Returns RGB u8 [out_h, out_w, 3] or None when the lib is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(srcs)
+    srcs = [np.ascontiguousarray(s, np.uint8) for s in srcs]
+    ptrs = (ctypes.c_void_p * n)(*[s.ctypes.data for s in srcs])
+    src_hw = np.array([[s.shape[0], s.shape[1]] for s in srcs], np.int32)
+    place = np.ascontiguousarray(place, np.int32)
+    minv = np.ascontiguousarray(minv, np.float64).reshape(6)
+    out = np.empty((out_shape[0], out_shape[1], 3), np.uint8)
+    gh, gs, gv = (hsv_gains if hsv_gains is not None else (1.0, 1.0, 1.0))
+    lib.yolov6_train_aug(
+        ptrs, src_hw.ctypes.data, place.ctypes.data, n, minv.ctypes.data,
+        out.ctypes.data, out_shape[0], out_shape[1],
+        float(gh), float(gs), float(gv), int(hsv_gains is not None),
+        int(flip_lr), int(flip_ud), pad_value,
+    )
+    return out
+
+
+def blend_native(a: np.ndarray, b: np.ndarray, r: float) -> Optional[np.ndarray]:
+    """In-place mixup blend a = trunc(a*r + b*(1-r)); returns a, or None
+    when the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert a.shape == b.shape and a.dtype == np.uint8
+    a = np.ascontiguousarray(a)
+    b = np.ascontiguousarray(b, np.uint8)
+    lib.yolov6_blend(a.ctypes.data, b.ctypes.data, a.size, float(r))
+    return a

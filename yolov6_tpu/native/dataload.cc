@@ -50,8 +50,10 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 // decoded image exceeds max_pixels, applies libjpeg's fractional DCT
 // scaling (1/2, 1/4, 1/8) during decode — far cheaper than full decode +
 // resize (the reference's cv2.imread + resize path pays full decode).
+// force_denom > 1 pins the DCT scale directly (the IMREAD_REDUCED_COLOR_N
+// analog used by the train-path fast decode, datasets.py load_image).
 int DecodeJpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
-               int* h, int* w, long max_pixels) {
+               int* h, int* w, long max_pixels, int force_denom = 1) {
   jpeg_decompress_struct cinfo;
   JpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
@@ -67,7 +69,10 @@ int DecodeJpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
     return 1;
   }
   cinfo.out_color_space = JCS_RGB;
-  if (max_pixels > 0) {
+  if (force_denom > 1) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = std::min(force_denom, 8);
+  } else if (max_pixels > 0) {
     long px = static_cast<long>(cinfo.image_width) * cinfo.image_height;
     cinfo.scale_num = 1;
     cinfo.scale_denom = 1;
@@ -149,6 +154,38 @@ Pool& GetPool(int n_threads) {
   return *p;
 }
 
+// Plain bilinear resize with half-pixel centers — the same sampling as
+// yolov6_letterbox's interior (preprocess.cc), without the padding.
+void BilinearResize(const uint8_t* src, int h, int w, uint8_t* dst, int dh,
+                    int dw) {
+  const float sx = static_cast<float>(w) / dw;
+  const float sy = static_cast<float>(h) / dh;
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float wy = fy - y0;
+    int y1 = std::min(y0 + 1, h - 1);
+    y0 = std::max(y0, 0);
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    const uint8_t* srow0 = src + static_cast<size_t>(y0) * w * 3;
+    const uint8_t* srow1 = src + static_cast<size_t>(y1) * w * 3;
+    for (int x = 0; x < dw; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = static_cast<int>(std::floor(fx));
+      float wx = fx - x0;
+      int x1 = std::min(x0 + 1, w - 1);
+      x0 = std::max(x0, 0);
+      for (int c = 0; c < 3; ++c) {
+        float v00 = srow0[x0 * 3 + c], v01 = srow0[x1 * 3 + c];
+        float v10 = srow1[x0 * 3 + c], v11 = srow1[x1 * 3 + c];
+        float v0 = v00 + (v01 - v00) * wx;
+        float v1 = v10 + (v11 - v10) * wx;
+        drow[x * 3 + c] = static_cast<uint8_t>(std::lround(v0 + (v1 - v0) * wy));
+      }
+    }
+  }
+}
+
 std::vector<uint8_t> ReadFile(const char* path) {
   std::vector<uint8_t> buf;
   FILE* f = std::fopen(path, "rb");
@@ -176,6 +213,26 @@ int yolov6_decode_jpeg_file(const char* path, uint8_t* out, long cap,
   if (DecodeJpeg(file.data(), file.size(), rgb, h, w, max_pixels)) return 1;
   if (static_cast<long>(rgb.size()) > cap) return 2;
   std::memcpy(out, rgb.data(), rgb.size());
+  return 0;
+}
+
+// Train-path loader fast path (datasets.py load_image analog): decode a
+// JPEG at DCT scale 1/denom (the caller picks the largest denom in
+// {1,2,4,8} that keeps the long side >= the train target — the
+// IMREAD_REDUCED rule), then bilinear-resize to exactly (dst_h, dst_w).
+// out must hold dst_h*dst_w*3 bytes. Returns 0 ok / 1 decode error.
+int yolov6_decode_jpeg_resize(const char* path, int denom, int dst_h,
+                              int dst_w, uint8_t* out) {
+  std::vector<uint8_t> file = ReadFile(path);
+  if (file.empty()) return 1;
+  std::vector<uint8_t> rgb;
+  int h = 0, w = 0;
+  if (DecodeJpeg(file.data(), file.size(), rgb, &h, &w, 0, denom)) return 1;
+  if (h == dst_h && w == dst_w) {
+    std::memcpy(out, rgb.data(), rgb.size());
+  } else {
+    BilinearResize(rgb.data(), h, w, out, dst_h, dst_w);
+  }
   return 0;
 }
 
