@@ -41,20 +41,36 @@ def _small(cfg):
     return cfg
 
 
-def _batch():
+def _batch(jitter: bool = False):
+    """jitter=True draws asymmetric, per-image-unique box geometry. The
+    regular grid below can put two anchors at EXACTLY the same TAL metric
+    (top-k tie): GSPMD reduction-order noise then flips a discrete
+    assignment and the gradient routes differently on the mesh — measured
+    on distill-NS at seed 0 (round 4). Irregular boxes break the symmetry
+    so every mode gets the strict per-element parity check."""
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3), np.uint8))
     targets = np.full((BATCH, MAX_GT, 5), -1.0, np.float32)
     targets[..., 1:] = 0.0
-    for i in range(BATCH):
-        targets[i, 0] = [i % NC, 0.5, 0.5, 0.4, 0.4]
-        targets[i, 1] = [(i + 1) % NC, 0.25, 0.3, 0.2, 0.3]
+    if jitter:
+        for i in range(BATCH):
+            targets[i, 0] = [i % NC,
+                             0.37 + 0.031 * i, 0.53 - 0.027 * i,
+                             0.23 + 0.041 * i, 0.31 + 0.019 * i]
+            targets[i, 1] = [(i + 1) % NC,
+                             0.71 - 0.023 * i, 0.29 + 0.037 * i,
+                             0.17 + 0.013 * i, 0.43 - 0.021 * i]
+    else:
+        for i in range(BATCH):
+            targets[i, 0] = [i % NC, 0.5, 0.5, 0.4, 0.4]
+            targets[i, 1] = [(i + 1) % NC, 0.25, 0.3, 0.2, 0.3]
     return images, jnp.asarray(targets)
 
 
-def _run_trajectory(make_setup, n_steps, sharded, use_atss, epoch=0.0):
+def _run_trajectory(make_setup, n_steps, sharded, use_atss, epoch=0.0,
+                    jitter=False):
     step_fn, state = make_setup()
-    images, targets = _batch()
+    images, targets = _batch(jitter)
     if sharded:
         assert jax.device_count() >= 8
         mesh = create_mesh()
@@ -82,7 +98,7 @@ def _update_vec(p0, p1):
 
 
 def _assert_spmd_parity(make_setup, use_atss=False, epoch=0.0, n_steps=3,
-                        traj_rtol=2e-3, chaotic=False):
+                        traj_rtol=2e-3, chaotic=False, jitter=False):
     """SPMD == single-device: loss trajectory over n_steps AND the params
     after the first step. The param check is the rigorous collective test —
     from identical initial params, the only sharded-vs-single difference is
@@ -100,13 +116,14 @@ def _assert_spmd_parity(make_setup, use_atss=False, epoch=0.0, n_steps=3,
     all-reduce scales it 8x / 2x) and its cosine (a sign or axis error
     flips it), plus the strict step-0 loss match."""
     l_single, p0_single, p_single = _run_trajectory(
-        make_setup, n_steps, False, use_atss, epoch)
+        make_setup, n_steps, False, use_atss, epoch, jitter)
     l_shard, p0_shard, p_shard = _run_trajectory(
-        make_setup, n_steps, True, use_atss, epoch)
+        make_setup, n_steps, True, use_atss, epoch, jitter)
     assert np.isfinite(l_single).all() and np.isfinite(l_shard).all()
     np.testing.assert_allclose(l_single[0], l_shard[0], rtol=1e-4)
-    np.testing.assert_allclose(l_single, l_shard, rtol=traj_rtol)
 
+    # params first: THE collective-correctness check. The trajectory check
+    # below is a stability bonus — run the rigorous one unconditionally.
     flat_s, _ = jax.tree_util.tree_flatten(p_single)
     flat_m, _ = jax.tree_util.tree_flatten(p_shard)
     assert len(flat_s) == len(flat_m) and flat_s
@@ -117,12 +134,16 @@ def _assert_spmd_parity(make_setup, use_atss=False, epoch=0.0, n_steps=3,
         assert ns > 0 and nm > 0
         ratio = nm / ns
         cos = float(u_s @ u_m / (ns * nm))
-        assert 0.8 < ratio < 1.25, f"step-0 update norm ratio {ratio}"
-        assert cos > 0.9, f"step-0 update cosine {cos}"
+        # window must exclude the one-dropped-shard signature: an all-reduce
+        # that silently loses 1 of 8 shards scales the update by 7/8 = 0.875
+        # (cosine stays ~1), so the bounds sit strictly inside (0.875, 8/7)
+        assert 0.93 < ratio < 1.07, f"step-0 update norm ratio {ratio}"
+        assert cos > 0.98, f"step-0 update cosine {cos}"
     else:
         for a, b in zip(flat_s, flat_m):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(l_single, l_shard, rtol=traj_rtol)
 
 
 def test_spmd_parity_atss_warmup():
@@ -188,8 +209,7 @@ def test_spmd_parity_fuse_ab():
     _assert_spmd_parity(setup, use_atss=False)
 
 
-def test_spmd_parity_distill_ns():
-    """Self-distillation (teacher fwd in-graph, dual-reg student head)."""
+def _distill_setup(distill_feat: bool):
     def setup():
         cfg = _small(Config.fromfile("/root/repo/configs/yolov6s.py"))
         cfg.model.head.use_dfl = True
@@ -203,12 +223,38 @@ def test_spmd_parity_distill_ns():
         distill_loss = ComputeLossDistillNS(
             num_classes=NC, ori_img_size=IMG, warmup_epoch=0,
             use_dfl=True, reg_max=model.detect.reg_max, iou_type="giou",
-            distill_feat=True, max_epoch=10, temperature=20.0)
+            distill_feat=distill_feat, max_epoch=10, temperature=20.0,
+            deterministic_assign=True)
         step_fn = make_train_step(
             model, None, build_param_groups(variables["params"]), SOLVER,
             max_stepnum=10, epochs=10, batch_size=64, warmup_stepnum=5,
             img_size=(IMG, IMG), teacher=(t_model, t_variables, distill_loss))
         return step_fn, create_train_state(variables)
+    return setup
 
-    _assert_spmd_parity(setup, use_atss=False, epoch=1.0, traj_rtol=0.2,
-                        chaotic=True)
+
+def test_spmd_parity_distill_ns():
+    """Self-distillation (teacher fwd in-graph, dual-reg student head), the
+    production recipe: distill_feat defaults OFF in the reference
+    (tools/train.py:51 store_true; engine.py:321) — and with it off this
+    mode passes the same STRICT per-element param parity as the other three
+    (round-5 measurement: worst grad leaf 5.5e-4 relative).
+    deterministic_assign bf16-rounds the detached assigner inputs so a TAL
+    top-13 boundary tie cannot flip on reduction-order noise either."""
+    _assert_spmd_parity(_distill_setup(False), use_atss=False, epoch=1.0,
+                        jitter=True)
+
+
+def test_spmd_parity_distill_ns_cwd():
+    """distill_feat=True adds the CWD feature loss — the one loss term that
+    legitimately amplifies sharding noise past per-element tolerance, pinned
+    by a round-5 decomposition probe, NOT a collective bug: the student's
+    train-mode BN forward carries ~1e-4 relative fp32 reduction-order noise
+    (teacher, running-stats: 3e-7), CWD's temperature-1 softmax over spatial
+    positions amplifies it, and near-cancelling bias-grad sums turn it into
+    ~5% on a few leaves while the LOSS still matches to 5e-6 and the CWD
+    grad wrt the features matches at the fwd-noise level (1e-4..1e-3).
+    Checked with the chaos-tolerant global-update detectors (window excludes
+    the 7/8-dropped-shard signature 0.875) + strict step-0 loss."""
+    _assert_spmd_parity(_distill_setup(True), use_atss=False, epoch=1.0,
+                        jitter=True, chaotic=True, n_steps=1)

@@ -83,6 +83,7 @@ class ComputeLoss:
         reg_max=16,
         iou_type="giou",
         loss_weight={"class": 1.0, "iou": 2.5, "dfl": 0.5},
+        deterministic_assign=False,
     ):
         self.fpn_strides = tuple(fpn_strides)
         self.grid_cell_size = grid_cell_size
@@ -94,6 +95,19 @@ class ComputeLoss:
         self.reg_max = reg_max
         self.iou_type = iou_type
         self.loss_weight = dict(loss_weight)
+        self.deterministic_assign = deterministic_assign
+
+    def _assign_input(self, x):
+        """Assigner inputs are detached data, not a gradient path; with
+        deterministic_assign they are rounded to the bf16 grid so the
+        DISCRETE top-k assignment cannot flip on fp32 reduction-order noise
+        (which differs between mesh shardings and between batch shapes —
+        XLA tiles the anchor reductions differently). Keeps single-device
+        and SPMD assignments bit-identical; default off to bit-match the
+        reference's fp32 assignment."""
+        if self.deterministic_assign:
+            return x.astype(jnp.bfloat16).astype(jnp.float32)
+        return x
 
     def __call__(
         self,
@@ -119,7 +133,8 @@ class ComputeLoss:
         pred_distri = pred_distri.astype(jnp.float32)
         pred_bboxes = bbox_decode(anchor_points_s[None], pred_distri, self.use_dfl, self.reg_max)
 
-        detached_boxes = jax.lax.stop_gradient(pred_bboxes) * stride_tensor
+        detached_boxes = self._assign_input(
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor)
         if use_atss:
             target_labels, target_bboxes, target_scores, fg_mask = atss_assigner(
                 anchors, n_anchors_list, gt_labels, gt_bboxes, mask_gt,
@@ -127,7 +142,8 @@ class ComputeLoss:
             )
         else:
             target_labels, target_bboxes, target_scores, fg_mask = task_aligned_assigner(
-                jax.lax.stop_gradient(pred_scores), detached_boxes,
+                self._assign_input(jax.lax.stop_gradient(pred_scores)),
+                detached_boxes,
                 anchor_points, gt_labels, gt_bboxes, mask_gt,
                 topk=13, num_classes=self.num_classes, alpha=1.0, beta=6.0,
             )

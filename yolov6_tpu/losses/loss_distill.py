@@ -79,6 +79,7 @@ class ComputeLossDistill:
         distill_weight={"class": 1.0, "dfl": 1.0},
         max_epoch=300,
         temperature=20.0,
+        deterministic_assign=False,
     ):
         self.fpn_strides = tuple(fpn_strides)
         self.grid_cell_size = grid_cell_size
@@ -94,6 +95,15 @@ class ComputeLossDistill:
         self.distill_weight = dict(distill_weight)
         self.max_epoch = max_epoch
         self.temperature = temperature
+        self.deterministic_assign = deterministic_assign
+
+    def _assign_input(self, x):
+        """See ComputeLoss._assign_input: bf16-round the DETACHED assigner
+        inputs so the discrete top-k assignment is invariant to fp32
+        reduction-order noise across mesh shardings. Off by default."""
+        if self.deterministic_assign:
+            return x.astype(jnp.bfloat16).astype(jnp.float32)
+        return x
 
     def _student_outputs(self, head_out):
         return flatten_head_outputs(head_out, self.num_classes)
@@ -137,7 +147,8 @@ class ComputeLossDistill:
         pred_bboxes = bbox_decode(anchor_points_s[None], pred_distri, self.use_dfl, self.reg_max)
         iou_branch_bboxes = self._iou_branch_bboxes(head_out, anchor_points_s, pred_bboxes)
 
-        detached_boxes = jax.lax.stop_gradient(pred_bboxes) * stride_tensor
+        detached_boxes = self._assign_input(
+            jax.lax.stop_gradient(pred_bboxes) * stride_tensor)
         if use_atss:
             target_labels, target_bboxes, target_scores, fg_mask = atss_assigner(
                 anchors, n_anchors_list, gt_labels, gt_bboxes, mask_gt,
@@ -145,7 +156,8 @@ class ComputeLossDistill:
             )
         else:
             target_labels, target_bboxes, target_scores, fg_mask = task_aligned_assigner(
-                jax.lax.stop_gradient(pred_scores), detached_boxes, anchor_points,
+                self._assign_input(jax.lax.stop_gradient(pred_scores)),
+                detached_boxes, anchor_points,
                 gt_labels, gt_bboxes, mask_gt, topk=13, num_classes=self.num_classes,
             )
         target_labels = jax.lax.stop_gradient(target_labels)
