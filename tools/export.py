@@ -117,7 +117,7 @@ def main():
                              "deploy/TensorRT/onnx_to_trt.py --dtype)")
     parser.add_argument("--format",
                         choices=("stablehlo", "onnx", "openvino", "tensorrt",
-                                 "torchscript"),
+                                 "torchscript", "ncnn"),
                         default="stablehlo",
                         help="onnx = model+decode opset-13 graph "
                              "(--end2end adds in-graph NonMaxSuppression); "
@@ -130,7 +130,11 @@ def main():
                              "deploy/TensorRT/onnx_to_trt.py:59-127); "
                              "torchscript = traced torch graph for "
                              "PNNX/NCNN (reference: "
-                             "deploy/NCNN/export_torchscript.py)")
+                             "deploy/NCNN/export_torchscript.py); "
+                             "ncnn = direct .param/.bin emit for the lite "
+                             "family (the artifacts the reference ships in "
+                             "deploy/NCNN/Android app assets; --half stores "
+                             "fp16 weights like the shipped assets)")
     parser.add_argument("--quant", action="store_true",
                         help="ONNX only: INT8 QDQ export from a PTQ/QAT "
                              "checkpoint (QuantizeLinear/DequantizeLinear "
@@ -167,6 +171,17 @@ def main():
                              "--quant (int8 QDQ) and --end2end "
                              "(NonMaxSuppression requires fp32 inputs)")
 
+    ncnn_fp16 = False
+    if args.format == "ncnn":
+        if args.end2end or args.dynamic_batch or args.quant:
+            raise SystemExit(
+                "--format ncnn emits the raw-head lite graph consumed by "
+                "the reference's yolo.cpp (decode+NMS live in the app) — "
+                "incompatible with --end2end/--dynamic-batch/--quant")
+        # --half selects fp16 WEIGHT STORAGE (like the shipped assets),
+        # not bf16 compute
+        ncnn_fp16, args.half = args.half, False
+
     if args.format == "torchscript" and (
         args.end2end or args.dynamic_batch or args.half
     ):
@@ -186,6 +201,39 @@ def main():
         args.weights, model, img_size=tuple(args.img_size), deploy=True,
         training_mode=cfg.get("training_mode", "repvgg"),
     )
+
+    if args.format == "ncnn":
+        import numpy as np
+
+        from yolov6_tpu.export.ncnn_export import export_ncnn
+
+        prefix = (args.output or args.weights).rsplit(".", 1)[0]
+        t0 = time.time()
+        param_path, bin_path = export_ncnn(
+            model, variables, prefix, fp16=ncnn_fp16)
+        LOGGER.info(f"Exported NCNN to {param_path} + {bin_path} in "
+                    f"{time.time() - t0:.1f}s"
+                    + (" (fp16 weights)" if ncnn_fp16 else ""))
+        if args.check:
+            import jax
+
+            from yolov6_tpu.export.ncnn_numpy import NcnnRunner
+
+            rng = np.random.default_rng(0)
+            img = rng.uniform(0, 1, (*args.img_size, 3)).astype(np.float32)
+            blobs = NcnnRunner(param_path, bin_path)(img.transpose(2, 0, 1))
+            head_out, _ = model.apply(variables, jnp.asarray(img[None]),
+                                      train=False)
+            tol = 2e-2 if ncnn_fp16 else 2e-4
+            for i in range(model.detect.num_layers):
+                want = np.concatenate([
+                    np.asarray(jax.nn.sigmoid(head_out["cls"][i][0])),
+                    np.asarray(head_out["reg"][i][0]),
+                ], -1).transpose(2, 0, 1)
+                np.testing.assert_allclose(blobs[f"out{i}"], want,
+                                           rtol=tol, atol=tol)
+            LOGGER.info("Round-trip OK (ncnn numpy executor == model)")
+        return
 
     if args.end2end and args.format != "onnx":
         serve = make_end2end_fn(
