@@ -59,6 +59,20 @@ def get_args_parser(add_help=True):
     p.add_argument("--skip-exact-nms", action="store_true",
                    help="skip the approx-vs-exact NMS delta eval")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fuse-ab", action="store_true",
+                   help="validate Anchor-Aided Training end-to-end: train "
+                        "with the anchor-based aux branch + its loss "
+                        "(reference engine.py:161-167) and assert the model "
+                        "still learns through the full chain")
+    p.add_argument("--distill", action="store_true",
+                   help="validate self-distillation end-to-end: stage 1 "
+                        "trains a fuse-AB teacher (the reference N/S recipe, "
+                        "README training steps), stage 2 trains the "
+                        "distill-NS student against it (reference "
+                        "engine.py:153-159, tools/train.py:46-51)")
+    p.add_argument("--teacher-epochs", type=int, default=0,
+                   help="distill teacher pre-stage epochs (0 = same as "
+                        "--epochs)")
     p.add_argument("--repopt", action="store_true",
                    help="validate the RepOptimizer recipe end-to-end: a CSLA "
                         "hyper-search pre-stage produces the scales ckpt, a "
@@ -127,6 +141,39 @@ def _repopt_prestage(args, data_yaml, train_cli, LOGGER):
     return gen_conf
 
 
+def _distill_prestage(args, data_yaml, train_cli, LOGGER):
+    """Distill step 1: train the TEACHER with the anchor-based aux branch
+    (the reference trains N/S with --fuse_ab, then self-distills against
+    that checkpoint: engine.get_teacher_model:429-441 builds the teacher
+    fuse_ab=True for 3-level heads). Returns the teacher ckpt path."""
+    t_epochs = args.teacher_epochs or args.epochs
+    t_args = train_cli.get_args_parser().parse_args([
+        "--data-path", data_yaml,
+        "--conf-file", args.conf_file,
+        "--img-size", str(args.img_size),
+        "--img-floor", str(args.img_size),
+        "--batch-size", str(args.batch_size),
+        "--epochs", str(t_epochs),
+        "--workers", str(args.workers),
+        "--fuse_ab",
+        "--eval-final-only",
+        "--heavy-eval-range", "0",
+        "--stop_aug_last_n_epoch", str(max(2, t_epochs // 6)),
+        "--output-dir", osp.join(args.out, "train_teacher"),
+        "--name", "teacher",
+        "--max-labels", str(args.max_labels),
+        "--seed", str(args.seed),
+        "--log-interval", "20",
+    ] + (["--bf16"] if args.bf16 else []))
+    LOGGER.info(f"Distill stage 1/2: fuse-AB teacher for {t_epochs} epochs")
+    train_cli.main(t_args)
+    ckpt = osp.join(t_args.save_dir, "weights", "best_ckpt.msgpack")
+    if not osp.exists(ckpt):
+        ckpt = osp.join(t_args.save_dir, "weights", "last_ckpt.msgpack")
+    assert osp.exists(ckpt), f"teacher ckpt missing: {ckpt}"
+    return ckpt
+
+
 def _eval_ckpt(data_yaml, ckpt, conf_file, img_size, batch_size, save_dir,
                **eval_kw):
     eval_mod = _load_tool("eval")
@@ -165,8 +212,29 @@ def main(args):
 
     train_cli = _load_tool("train")
     conf_file = args.conf_file
+    extra_flags = []
+    if args.fuse_ab and args.distill:
+        raise ValueError("distill models turn off fuse_ab (reference "
+                         "core/engine.py:153-167) — pick one gate mode")
+    if args.fuse_ab:
+        extra_flags.append("--fuse_ab")
     if args.repopt:
         conf_file = _repopt_prestage(args, data_yaml, train_cli, LOGGER)
+    if args.distill:
+        teacher_ckpt = _distill_prestage(args, data_yaml, train_cli, LOGGER)
+        extra_flags += ["--distill", "--teacher_model_path", teacher_ckpt]
+        # the reference's distill contract: the N/S config is flipped to
+        # use_dfl=True / reg_max=16 for the student stage ("set to 16 if you
+        # want to further train with distillation", reference
+        # configs/yolov6s.py:32-33) — the NS head trains the DFL branch
+        # alongside the deployed plain-ltrb branch
+        src = open(conf_file).read()
+        assert "use_dfl=False" in src and "reg_max=0" in src, conf_file
+        student_conf = osp.join(args.out, "student_conf.py")
+        with open(student_conf, "w") as f:
+            f.write(src.replace("use_dfl=False", "use_dfl=True")
+                       .replace("reg_max=0", "reg_max=16"))
+        conf_file = student_conf
     train_args = train_cli.get_args_parser().parse_args([
         "--data-path", data_yaml,
         "--conf-file", conf_file,
@@ -184,9 +252,15 @@ def main(args):
         "--max-labels", str(args.max_labels),
         "--seed", str(args.seed),
         "--log-interval", "20",
-    ] + (["--bf16"] if args.bf16 else []))
+    ] + extra_flags + (["--bf16"] if args.bf16 else []))
     train_cli.main(train_args)
     weights_dir = osp.join(train_args.save_dir, "weights")
+
+    # distill ships the plain-ltrb branch: checkpoints are EVALUATED with
+    # the original (use_dfl=False) config — fold-at-load drops the
+    # train-only DFL branch ("cost-free" distillation, reference
+    # effidehead_distill_ns.py)
+    eval_conf = args.conf_file if args.distill else conf_file
 
     # evaluate an early / mid / final trajectory (per-epoch ckpts are
     # 0-indexed "<e>_ckpt.msgpack"; the stripped final is last_ckpt)
@@ -198,7 +272,7 @@ def main(args):
         if not osp.exists(ckpt):
             ckpt = osp.join(weights_dir, "last_ckpt.msgpack")
         m50, m5095 = _eval_ckpt(
-            data_yaml, ckpt, conf_file, args.img_size, args.batch_size,
+            data_yaml, ckpt, eval_conf, args.img_size, args.batch_size,
             osp.join(args.out, f"eval_e{e}"))
         trajectory.append({"epoch": e, "map50": m50, "map50_95": m5095})
         LOGGER.info(f"gate eval epoch {e}: mAP50={m50:.4f} mAP50-95={m5095:.4f}")
@@ -219,7 +293,7 @@ def main(args):
         if not osp.exists(ckpt):
             ckpt = osp.join(weights_dir, "last_ckpt.msgpack")
         m50_exact, m5095_exact = _eval_ckpt(
-            data_yaml, ckpt, conf_file, args.img_size, args.batch_size,
+            data_yaml, ckpt, eval_conf, args.img_size, args.batch_size,
             osp.join(args.out, "eval_exact"),
             max_nms=30000, row_select="topk",
         )
