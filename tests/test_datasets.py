@@ -114,3 +114,30 @@ def test_stale_v1_cache_invalidated(tmp_path):
     ds = TrainValDataset(img_dir, img_size=64, batch_size=2, task="val",
                          data_dict={"nc": 1, "names": ["a"], "is_coco": True})
     assert ds.shapes.shape == (2, 2) and (ds.shapes > 0).all()
+
+
+def test_prefetch_to_device_order_and_errors():
+    """prefetch_to_device: preserves batch order and trailing fields in both
+    the threaded (dedicated transfer thread — through the axon tunnel
+    device_put blocks the caller) and inline modes, and re-raises producer
+    exceptions in the consumer."""
+    from yolov6_tpu.data.data_load import prefetch_to_device
+
+    batches = [
+        (np.full((2, 4, 4, 3), i, np.uint8),
+         np.zeros((2, 3, 5), np.float32), f"p{i}", None, 2)
+        for i in range(7)
+    ]
+    for mode in (True, False):
+        out = list(prefetch_to_device(iter(batches), n_prefetch=2, thread=mode))
+        assert len(out) == 7
+        for i, item in enumerate(out):
+            assert int(np.asarray(item[0])[0, 0, 0, 0]) == i
+            assert item[2] == f"p{i}" and item[4] == 2
+
+    def gen():
+        yield batches[0]
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(prefetch_to_device(gen(), thread=True))

@@ -136,7 +136,8 @@ class DataLoader:
             stop.set()
 
 
-def prefetch_to_device(batches, n_prefetch: int = 2, sharding=None):
+def prefetch_to_device(batches, n_prefetch: int = 2, sharding=None,
+                       thread: bool = True):
     """Overlap host->device transfer with the consumer's dispatch.
 
     Wraps a (imgs, labels, *rest) batch iterator: jax.device_put is issued
@@ -146,8 +147,17 @@ def prefetch_to_device(batches, n_prefetch: int = 2, sharding=None):
     instead — measured as the train pipeline's 26% overlap loss in round 4
     (BENCH_r04 s_train_pipeline; the torch analog is DataLoader
     pin_memory+non_blocking copies, reference data_load.py:66-73).
+
+    thread=True moves the device_put calls to a dedicated transfer thread:
+    through the axon tunnel device_put BLOCKS the calling thread for a
+    large fraction of the wire time (measured ~160 ms per 39 MB batch), so
+    issuing it inline would stall the consumer's dispatch loop; on a real
+    TPU-VM host the put is cheap either way and the thread just adds one
+    queue hop.
     """
     import collections
+    import queue as _queue
+    import threading
 
     import jax
 
@@ -157,13 +167,40 @@ def prefetch_to_device(batches, n_prefetch: int = 2, sharding=None):
             return (jax.device_put(imgs, sharding), jax.device_put(labels, sharding)) + tuple(item[2:])
         return (jax.device_put(imgs), jax.device_put(labels)) + tuple(item[2:])
 
-    q = collections.deque()
+    if thread:
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, n_prefetch))
+        _END = object()
+        err = []
+
+        def worker():
+            try:
+                for item in batches:
+                    q.put(put(item))
+            except BaseException as e:  # noqa: BLE001 — surface in consumer
+                err.append(e)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="device-prefetch")
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+        return
+
+    q2 = collections.deque()
     for item in batches:
-        q.append(put(item))
-        if len(q) > n_prefetch:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+        q2.append(put(item))
+        if len(q2) > n_prefetch:
+            yield q2.popleft()
+    while q2:
+        yield q2.popleft()
 
 
 def create_dataloader(
