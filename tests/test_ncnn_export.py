@@ -71,14 +71,22 @@ def test_ncnn_numeric_parity(tmp_path, fp16):
                                    err_msg=f"level {i}")
 
 
-def test_ncnn_structure_matches_reference_asset():
-    """yolov6-lite-s at nc=80: the emitted op inventory must EQUAL the
-    shipped PNNX-produced asset's, layer for layer by type (the graph the
-    Android yolo.cpp consumes), and the I/O blob names must match."""
-    ref = parse_param(osp.join(REF_ASSETS, "yolov6-lite-s.param"))
+@pytest.mark.parametrize("asset,width", [
+    ("yolov6-lite-s", 0.7),   # lite-s config width
+    ("yolov6-lite-m", 1.1),   # lite-m
+    ("yolov6-lite-l0", 1.5),  # lite-l at its three shipped input sizes —
+    ("yolov6-lite-l1", 1.5),  # same graph, the app picks by resolution
+    ("yolov6-lite-l2", 1.5),
+])
+def test_ncnn_structure_matches_reference_asset(asset, width):
+    """Each shipped Android asset: the emitted op inventory must EQUAL the
+    PNNX-produced asset's, layer for layer by type (the graph the Android
+    yolo.cpp consumes), conv shapes must match exactly, and the I/O blob
+    names must match."""
+    ref = parse_param(osp.join(REF_ASSETS, asset + ".param"))
     ref_counts = collections.Counter(l["op"] for l in ref)
 
-    model, variables = _lite_model(width=0.7, nc=80, real_init=False)
+    model, variables = _lite_model(width=width, nc=80, real_init=False)
     g = build_ncnn_graph(model, variables)
     got_counts = collections.Counter(l["op"] for l in g.layers)
     assert got_counts == ref_counts, (
