@@ -95,3 +95,52 @@ def test_sharded_matches_single_device():
         s2, loss, _ = step_fn2(s2, imgs_s, tgts_s, jnp.asarray(0), use_atss=False)
         l_shard.append(float(loss))
     np.testing.assert_allclose(l_single, l_shard, rtol=2e-3)
+
+
+def test_nonfinite_step_does_not_brick_model():
+    """A forward that produces non-finite activations must not poison the
+    persistent state: the finite-guard keeps params AND BN batch statistics
+    (torch's GradScaler only skips the optimizer step — a NaN forward there
+    pollutes the running stats and permanently bricks train+eval; measured
+    on the round-5 bf16 distill gate). After the bad step the state must be
+    byte-identical on the guarded leaves and a clean step must run fine."""
+    step_fn, state, images, targets = _tiny_setup()
+    # settle one clean step so opt/EMA buffers are populated
+    state, loss0, _ = step_fn(state, images, targets, jnp.asarray(0), use_atss=False)
+    assert np.isfinite(float(loss0))
+
+    good_params = jax.device_get(state.params)
+    good_stats = jax.device_get(state.batch_stats)
+
+    # poison ONE conv kernel with inf -> forward activations (and the BN
+    # batch stats computed from them) go non-finite
+    def poison(tree):
+        flat, treedef = jax.tree_util.tree_flatten(tree)
+        flat = list(flat)
+        for i, leaf in enumerate(flat):
+            if leaf.ndim == 4:  # first conv kernel
+                bad = np.asarray(leaf).copy()
+                bad[0, 0, 0, 0] = np.inf
+                flat[i] = jnp.asarray(bad)
+                break
+        return jax.tree_util.tree_unflatten(treedef, flat)
+
+    state = state._replace(params=poison(state.params))
+    poisoned = jax.device_get(state.params)
+    state, loss_bad, _ = step_fn(state, images, targets, jnp.asarray(0), use_atss=False)
+    assert not np.isfinite(float(loss_bad))
+
+    # params unchanged (skipped step), stats kept at the last finite values
+    for a, b in zip(jax.tree_util.tree_leaves(poisoned),
+                    jax.tree_util.tree_leaves(jax.device_get(state.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(good_stats),
+                    jax.tree_util.tree_leaves(jax.device_get(state.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(state.batch_stats))
+
+    # heal the weight: training proceeds finitely from the preserved state
+    state = state._replace(params=jax.tree_util.tree_map(jnp.asarray, good_params))
+    state, loss1, _ = step_fn(state, images, targets, jnp.asarray(0), use_atss=False)
+    assert np.isfinite(float(loss1))

@@ -141,15 +141,17 @@ def _repopt_prestage(args, data_yaml, train_cli, LOGGER):
     return gen_conf
 
 
-def _distill_prestage(args, data_yaml, train_cli, LOGGER):
+def _distill_prestage(args, data_yaml, train_cli, LOGGER, conf_file):
     """Distill step 1: train the TEACHER with the anchor-based aux branch
     (the reference trains N/S with --fuse_ab, then self-distills against
     that checkpoint: engine.get_teacher_model:429-441 builds the teacher
-    fuse_ab=True for 3-level heads). Returns the teacher ckpt path."""
+    fuse_ab=True for 3-level heads). conf_file is the DFL-flipped config —
+    the reference opens use_dfl/reg_max=16 for BOTH steps
+    (reference docs/Train_coco_data.md:26,38). Returns the teacher ckpt."""
     t_epochs = args.teacher_epochs or args.epochs
     t_args = train_cli.get_args_parser().parse_args([
         "--data-path", data_yaml,
-        "--conf-file", args.conf_file,
+        "--conf-file", conf_file,
         "--img-size", str(args.img_size),
         "--img-floor", str(args.img_size),
         "--batch-size", str(args.batch_size),
@@ -221,20 +223,22 @@ def main(args):
     if args.repopt:
         conf_file = _repopt_prestage(args, data_yaml, train_cli, LOGGER)
     if args.distill:
-        teacher_ckpt = _distill_prestage(args, data_yaml, train_cli, LOGGER)
-        extra_flags += ["--distill", "--teacher_model_path", teacher_ckpt]
         # the reference's distill contract: the N/S config is flipped to
-        # use_dfl=True / reg_max=16 for the student stage ("set to 16 if you
-        # want to further train with distillation", reference
-        # configs/yolov6s.py:32-33) — the NS head trains the DFL branch
+        # use_dfl=True / reg_max=16 for BOTH steps ("Be sure to open
+        # use_dfl mode in config file", reference docs/Train_coco_data.md:
+        # 26,38; configs/yolov6s.py:32-33) — the fuse-AB teacher trains
+        # with the DFL head, and the NS student trains the DFL branch
         # alongside the deployed plain-ltrb branch
         src = open(conf_file).read()
         assert "use_dfl=False" in src and "reg_max=0" in src, conf_file
-        student_conf = osp.join(args.out, "student_conf.py")
-        with open(student_conf, "w") as f:
+        dfl_conf = osp.join(args.out, "distill_conf.py")
+        with open(dfl_conf, "w") as f:
             f.write(src.replace("use_dfl=False", "use_dfl=True")
                        .replace("reg_max=0", "reg_max=16"))
-        conf_file = student_conf
+        conf_file = dfl_conf
+        teacher_ckpt = _distill_prestage(args, data_yaml, train_cli, LOGGER,
+                                         conf_file)
+        extra_flags += ["--distill", "--teacher_model_path", teacher_ckpt]
     train_args = train_cli.get_args_parser().parse_args([
         "--data-path", data_yaml,
         "--conf-file", conf_file,

@@ -166,6 +166,20 @@ def make_train_step(
         grads_finite = jax.tree_util.tree_reduce(
             lambda acc, g: acc & jnp.all(jnp.isfinite(g)), grads, jnp.bool_(True)
         )
+        # ... and guard the BN batch statistics too: torch's GradScaler only
+        # skips the OPTIMIZER step — a non-finite forward still pollutes the
+        # BN running stats, after which every subsequent forward (train AND
+        # eval) is NaN and the model is permanently bricked. Measured on the
+        # bf16 distill gate (round 5): one NaN step at epoch 16 zeroed mAP
+        # for the rest of the run. Keep the last finite stats instead.
+        stats_finite = jax.tree_util.tree_reduce(
+            lambda acc, s: acc & jnp.all(jnp.isfinite(s)),
+            new_batch_stats, jnp.bool_(True),
+        )
+        new_batch_stats = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(stats_finite, n, o),
+            new_batch_stats, state.batch_stats,
+        )
 
         # with global batch >= the nominal 64 the accumulate count is 1 for
         # the whole run — skip the accumulation buffers and selects entirely
