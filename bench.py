@@ -151,14 +151,21 @@ def eval_nms_fps(model, variables, images, iters):
     return images.shape[0] * iters / dt
 
 
-def train_fps(batch, img, steps, max_labels=32, training_mode=None):
-    """Steady-state full-train-step throughput for YOLOv6-S (bf16 compute).
+def train_fps(batch, img, steps, max_labels=32, training_mode=None,
+              model_name="yolov6s", mode=None):
+    """Steady-state full-train-step throughput (bf16 compute).
 
     training_mode='repopt' benches the RepOptimizer recipe (single-branch
     RealVGG blocks + per-channel gradient masks, solver/repoptimizer.py —
     the recommended TPU training mode, docs/tutorial_repopt.md). Mask
     VALUES don't affect throughput, so unit CSLA scales stand in for a
     hyper-search checkpoint.
+
+    mode='fuse_ab' / 'distill' bench the recipes the reference's published
+    models actually train with (README training steps; engine.py:153-167):
+    fuse-AB adds the anchor-based aux branch + its loss; distill runs the
+    same-size teacher forward in-graph (distill-NS dual-reg head for N/S,
+    the M/L distill loss otherwise).
     """
     import numpy as np
     import jax
@@ -170,11 +177,43 @@ def train_fps(batch, img, steps, max_labels=32, training_mode=None):
     from yolov6_tpu.solver.build import build_param_groups
     from yolov6_tpu.utils.config import Config
 
-    cfg = Config.fromfile(find_config("yolov6s"))
+    cfg = Config.fromfile(find_config(model_name))
     if training_mode is not None:
         cfg.training_mode = training_mode
-    model = build_model(cfg, num_classes=80, deploy=False, dtype=jnp.bfloat16)
+    distill_ns = mode == "distill" and model_name in ("yolov6n", "yolov6s")
+    if distill_ns:
+        # the NS recipe trains the DFL branch alongside the deployed plain
+        # ltrb branch (reference loss_distill_ns; SPMD test does the same)
+        cfg.model.head.use_dfl = True
+        cfg.model.head.reg_max = 16
+    model = build_model(cfg, num_classes=80, deploy=False, dtype=jnp.bfloat16,
+                        fuse_ab=mode == "fuse_ab", distill_ns=distill_ns)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)), train=False)
+
+    teacher = None
+    compute_loss_ab = None
+    if mode == "distill":
+        from yolov6_tpu.losses.loss_distill import ComputeLossDistill
+        from yolov6_tpu.losses.loss_distill_ns import ComputeLossDistillNS
+
+        t_model = build_model(cfg, num_classes=80, deploy=False,
+                              dtype=jnp.bfloat16)
+        t_variables = t_model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, img, img, 3)), train=False)
+        loss_cls = ComputeLossDistillNS if distill_ns else ComputeLossDistill
+        head = cfg.model.head
+        distill_loss = loss_cls(
+            num_classes=80, ori_img_size=img, warmup_epoch=0,
+            use_dfl=True, reg_max=16, iou_type=head.iou_type,
+            distill_feat=False, max_epoch=300, temperature=20.0)
+        teacher = (t_model, t_variables, distill_loss)
+    elif mode == "fuse_ab":
+        from yolov6_tpu.losses.loss_fuseab import ComputeLossAB
+
+        head = cfg.model.head
+        compute_loss_ab = ComputeLossAB(
+            num_classes=80, ori_img_size=img, iou_type=head.iou_type,
+            anchors_init=tuple(map(tuple, head.anchors_init)))
 
     grad_masks = None
     if training_mode == "repopt":
@@ -190,7 +229,7 @@ def train_fps(batch, img, steps, max_labels=32, training_mode=None):
             scales[path] = (ones, ones, ones) if cin == cout else (ones, ones)
         grad_masks = generate_gradient_masks(variables["params"], scales)
     head = cfg.model.head
-    loss_fn = ComputeLoss(
+    loss_fn = None if mode == "distill" else ComputeLoss(
         num_classes=80, ori_img_size=img, warmup_epoch=0,
         use_dfl=head.use_dfl, reg_max=head.reg_max, iou_type=head.iou_type,
     )
@@ -203,7 +242,7 @@ def train_fps(batch, img, steps, max_labels=32, training_mode=None):
     step_fn = make_train_step(
         model, loss_fn, build_param_groups(variables["params"]), solver_cfg,
         max_stepnum=1000, epochs=300, batch_size=batch, warmup_stepnum=10,
-        img_size=(img, img),
+        img_size=(img, img), teacher=teacher, compute_loss_ab=compute_loss_ab,
     )
     state = create_train_state(
         {"params": variables["params"], "batch_stats": variables.get("batch_stats", {})}
@@ -370,6 +409,68 @@ def train_pipeline_fps(batch, img, steps, max_labels=32):
     }
 
 
+def eval_pipeline_fps(batch, img, n_imgs=192):
+    """Sustained EVAL throughput INCLUDING the host pipeline — the eval twin
+    of train_pipeline_fps: native JPEG decode+letterbox loader, transfer,
+    jitted fwd+decode+NMS, and the COCO-format host post-processing, all
+    through the Evaler's one-batch software pipeline (core/evaler.py
+    predict_model). Reports loader-only and end-to-end imgs/s."""
+    import tempfile
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from yolov6_tpu.core.evaler import Evaler
+    from yolov6_tpu.data.synth_detect import generate_synth_dataset
+    from yolov6_tpu.models.yolo import build_model
+    from yolov6_tpu.utils.config import Config
+    from yolov6_tpu.utils.events import load_yaml
+
+    import jax
+
+    root = os.path.join(tempfile.gettempdir(), f"bench_evalpipe_{img}_{n_imgs}")
+    data_yaml = os.path.join(root, "data.yaml")
+    if not os.path.exists(data_yaml):
+        generate_synth_dataset(root, n_train=8, n_val=n_imgs,
+                               img_size=2 * img, nc=4, seed=0)
+    data_dict = load_yaml(data_yaml)
+
+    cfg = Config.fromfile(find_config("yolov6s"))
+    model = build_model(cfg, num_classes=4, deploy=True, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)),
+                           train=False)
+
+    evaler = Evaler(data_dict, batch_size=batch, img_size=img, half=True,
+                    do_coco_metric=False, do_pr_metric=False)
+    evaler.init_model(model, variables)
+    loader = evaler.init_data(task="val")
+
+    # loader-only pass (native batch decode+letterbox path)
+    t0 = time.perf_counter()
+    n = 0
+    for imgs, _, _, _, n_valid in loader:
+        n += int(n_valid)
+    loader_fps = n / (time.perf_counter() - t0)
+
+    # warm the jit (compile outside the timed loop)
+    first = next(iter(loader))
+    dets, valid = evaler._infer(
+        evaler.variables, evaler._device_put(first[0]))
+    np.asarray(jax.device_get(valid))
+
+    t0 = time.perf_counter()
+    preds = evaler.predict_model(model, loader, task="val")
+    e2e_dt = time.perf_counter() - t0
+    n_eval = int(evaler.speed_result[0])
+    e2e_fps = n_eval / e2e_dt
+    return {
+        "loader_imgs_s": round(loader_fps, 2),
+        "end_to_end_imgs_s": round(e2e_fps, 2),
+        "loader_share": round(min(1.0, e2e_fps / max(loader_fps, 1e-9)), 3),
+        "n_images": n_eval,
+    }
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     img = int(os.environ.get("BENCH_IMG", "640"))
@@ -404,10 +505,27 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             extras["s_train_repopt_imgs_s"] = f"error: {e}"
+        if os.environ.get("BENCH_TRAIN_RECIPES", "1") != "0":
+            # the recipes the published reference models train with
+            # (README: all N/S/M/L are distill-trained; N/S add fuse-AB)
+            for key, kw in (
+                ("m_train_imgs_s", dict(model_name="yolov6m")),
+                ("l_train_imgs_s", dict(model_name="yolov6l")),
+                ("s_train_fuseab_imgs_s", dict(mode="fuse_ab")),
+                ("s_train_distill_imgs_s", dict(mode="distill")),
+            ):
+                try:
+                    extras[key] = round(train_fps(batch, img, steps=10, **kw), 2)
+                except Exception as e:  # noqa: BLE001
+                    extras[key] = f"error: {e}"
         try:
             extras["s_train_pipeline"] = train_pipeline_fps(batch, img, steps=6)
         except Exception as e:  # noqa: BLE001
             extras["s_train_pipeline"] = f"error: {e}"
+        try:
+            extras["s_eval_pipeline"] = eval_pipeline_fps(batch, img)
+        except Exception as e:  # noqa: BLE001
+            extras["s_eval_pipeline"] = f"error: {e}"
         for small, key in (("yolov6n", "n_fwd_imgs_s"), ("yolov6l", "l_fwd_imgs_s")):
             try:
                 f, _ = fwd_decode_fps(small, batch, img, iters=30)
