@@ -505,9 +505,12 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             extras["s_train_repopt_imgs_s"] = f"error: {e}"
-        if os.environ.get("BENCH_TRAIN_RECIPES", "1") != "0":
+        if os.environ.get("BENCH_TRAIN_RECIPES", "0") == "1":
             # the recipes the published reference models train with
-            # (README: all N/S/M/L are distill-trained; N/S add fuse-AB)
+            # (README: all N/S/M/L are distill-trained; N/S add fuse-AB).
+            # Opt-in: 4 extra train-step compiles are ~30-45 min through
+            # the axon tunnel; measured values live in docs/Test_speed.md
+            # (M 145 / L 157 / S+fuseAB 247 / S distill-NS 190 imgs/s)
             for key, kw in (
                 ("m_train_imgs_s", dict(model_name="yolov6m")),
                 ("l_train_imgs_s", dict(model_name="yolov6l")),
