@@ -18,7 +18,7 @@ if ROOT not in sys.path:
 
 import jax.numpy as jnp
 
-from yolov6_tpu.models.end2end import export_stablehlo, load_exported, make_end2end_fn
+from yolov6_tpu.models.end2end import export_stablehlo, make_end2end_fn
 from yolov6_tpu.models.yolo import build_model
 from yolov6_tpu.utils.checkpoint import load_checkpoint_variables
 from yolov6_tpu.utils.config import Config
@@ -107,6 +107,14 @@ def main():
     parser.add_argument("--max-det", type=int, default=100)
     parser.add_argument("--platforms", nargs="+", default=None,
                         help="e.g. tpu cpu — multi-platform artifact")
+    parser.add_argument("--weights-as-args", action="store_true",
+                        help="stablehlo only: export the module with the "
+                             "weights as runtime arguments plus a "
+                             "<output>.weights.msgpack sidecar instead of "
+                             "embedding them as HLO constants. Required for "
+                             "M6/L6-sized models on size-capped "
+                             "remote-compile paths (HTTP 413 through the "
+                             "axon tunnel; docs/Test_speed.md)")
     parser.add_argument("--shard-devices", type=int, default=1,
                         help="export a GSPMD artifact with the batch sharded "
                              "over an N-device data mesh (one artifact "
@@ -235,22 +243,36 @@ def main():
             LOGGER.info("Round-trip OK (ncnn numpy executor == model)")
         return
 
+    if args.weights_as_args and (args.format != "stablehlo" or args.runner_dir):
+        raise SystemExit(
+            "--weights-as-args only applies to --format stablehlo without "
+            "--runner-dir (the native PJRT runner consumes a single-input "
+            "module with embedded weights)"
+        )
+
     if args.end2end and args.format != "onnx":
         serve = make_end2end_fn(
             model, variables, args.conf_thres, args.iou_thres, args.max_det,
             with_preprocess=args.with_preprocess, half=args.half,
+            weights_as_args=args.weights_as_args,
         )
     else:
         from yolov6_tpu.models.effidehead import decode_eval
 
-        def serve(images):
+        def _serve(vs, images):
             x = images.astype(jnp.bfloat16 if args.half else jnp.float32)
             if args.with_preprocess:
                 x = x[..., ::-1] / 255.0
-            head_out, _ = model.apply(variables, x, train=False)
+            head_out, _ = model.apply(vs, x, train=False)
             return decode_eval(
                 head_out, model.num_classes, model.strides, model.use_dfl, model.reg_max
             )
+
+        if args.weights_as_args:
+            serve = _serve
+        else:
+            def serve(images):
+                return _serve(variables, images)
 
     if args.format in ("onnx", "openvino", "tensorrt", "torchscript"):
         import numpy as np
@@ -412,8 +434,13 @@ def main():
         platforms=tuple(args.platforms) if args.platforms else None,
         input_dtype=jnp.uint8 if args.with_preprocess else jnp.float32,
         shard_devices=args.shard_devices,
+        weights=variables if args.weights_as_args else None,
     )
-    LOGGER.info(f"Exported to {output} in {time.time() - t0:.1f}s")
+    LOGGER.info(
+        f"Exported to {output} in {time.time() - t0:.1f}s"
+        + (f" (+ weights sidecar {output}.weights.msgpack)"
+           if args.weights_as_args else "")
+    )
 
     if args.runner_dir:
         from yolov6_tpu.models.end2end import write_native_artifact
@@ -435,7 +462,9 @@ def main():
     if args.check:
         import numpy as np
 
-        art = load_exported(output)
+        from yolov6_tpu.models.end2end import load_serving
+
+        art = load_serving(output)
         dtype = np.uint8 if args.with_preprocess else np.float32
         dummy = np.zeros((args.batch_size, *args.img_size, 3), dtype)
         out = art.call(jnp.asarray(dummy))

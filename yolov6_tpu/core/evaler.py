@@ -155,10 +155,14 @@ class Evaler:
         an N-device ``data`` mesh with the batch sharded on axis 0; a plain
         single-device artifact runs unsharded — feeding it a mesh-sharded
         batch would raise a device-count mismatch, so the data-parallel
-        path is disabled for it."""
-        from yolov6_tpu.models.end2end import load_exported
+        path is disabled for it.
 
-        art = load_exported(path)
+        An artifact exported with --weights-as-args (M6/L6-sized models;
+        weights ride in the ``<path>.weights.msgpack`` sidecar instead of
+        being embedded as HLO constants) loads transparently."""
+        from yolov6_tpu.models.end2end import load_serving
+
+        art = load_serving(path)
         nr = getattr(art, "nr_devices", 1)
         if nr > 1:
             if len(jax.devices()) < nr:

@@ -26,14 +26,23 @@ def make_end2end_fn(
     max_det: int = 100,
     with_preprocess: bool = False,
     half: bool = True,
+    weights_as_args: bool = False,
 ):
     """Build the serving function over uint8/float NHWC images.
 
     with_preprocess=True folds BGR->RGB + /255 into the graph
-    (reference end2end.py:273-275)."""
+    (reference end2end.py:273-275).
+
+    weights_as_args=True builds ``serve(variables, images)`` instead of
+    closing over the weights. Closed-over weights embed as HLO constants in
+    the traced program — fine (and ~4% faster) for N/S/M/L, but M6/L6-sized
+    programs (>500 MB of constants) are rejected by size-capped
+    remote-compile paths (measured: HTTP 413 through the axon tunnel,
+    docs/Test_speed.md). The argument form keeps the program small and pairs
+    with a sidecar weights file at export time."""
     dtype = jnp.bfloat16 if half else jnp.float32
 
-    def serve(images):
+    def _serve(variables, images):
         x = images.astype(dtype)
         if with_preprocess:
             x = x[..., ::-1] / dtype(255.0)  # BGR -> RGB, normalize
@@ -47,6 +56,12 @@ def make_end2end_fn(
         num_dets = jnp.sum(valid, axis=1, keepdims=True).astype(jnp.int32)
         return num_dets, dets[..., :4], dets[..., 4], dets[..., 5].astype(jnp.int32)
 
+    if weights_as_args:
+        return _serve
+
+    def serve(images):
+        return _serve(variables, images)
+
     return serve
 
 
@@ -58,6 +73,7 @@ def export_stablehlo(
     platforms: Optional[Tuple[str, ...]] = None,
     input_dtype=jnp.uint8,
     shard_devices: int = 1,
+    weights=None,
 ):
     """Serialize the serving function to a portable StableHLO artifact.
 
@@ -66,7 +82,15 @@ def export_stablehlo(
     serves a multi-chip batch (XLA partitions the whole graph, NMS
     included — the serving analog of the reference's multi-GPU DDP eval).
     The caller must later invoke it with the batch sharded the same way
-    (Evaler.init_artifact does this automatically)."""
+    (Evaler.init_artifact does this automatically).
+
+    ``weights`` (a variables pytree) exports the weights-as-arguments form:
+    the module takes ``(variables, images)`` and the weights are written to
+    a ``<path>.weights.msgpack`` sidecar instead of being embedded as HLO
+    constants. Use for M6/L6-sized models where the constant-laden program
+    exceeds remote-compile body limits (HTTP 413 through the axon tunnel;
+    see docs/Test_speed.md). ``load_serving`` reassembles the pair."""
+    from flax import serialization
     from jax import export as jexport
 
     spec = jax.ShapeDtypeStruct((batch, img_size[0], img_size[1], 3), input_dtype)
@@ -74,6 +98,7 @@ def export_stablehlo(
     if platforms:
         kwargs["platforms"] = list(platforms)
     fn = jax.jit(serve_fn)
+    batch_shd = None
     if shard_devices > 1:
         if batch % shard_devices:
             raise ValueError(f"batch {batch} not divisible by {shard_devices}")
@@ -88,8 +113,27 @@ def export_stablehlo(
         batch_shd = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec("data")
         )
-        fn = jax.jit(serve_fn, in_shardings=batch_shd, out_shardings=batch_shd)
-    exported = jexport.export(fn, **kwargs)(spec)
+    if weights is not None:
+        w_spec = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            weights,
+        )
+        if batch_shd is not None:
+            repl = jax.sharding.NamedSharding(
+                batch_shd.mesh, jax.sharding.PartitionSpec()
+            )
+            w_repl = jax.tree_util.tree_map(lambda _: repl, w_spec)
+            fn = jax.jit(
+                serve_fn, in_shardings=(w_repl, batch_shd), out_shardings=batch_shd
+            )
+        exported = jexport.export(fn, **kwargs)(w_spec, spec)
+        w_np = jax.tree_util.tree_map(np.asarray, weights)
+        with open(path + ".weights.msgpack", "wb") as f:
+            f.write(serialization.msgpack_serialize(w_np))
+    else:
+        if batch_shd is not None:
+            fn = jax.jit(serve_fn, in_shardings=batch_shd, out_shardings=batch_shd)
+        exported = jexport.export(fn, **kwargs)(spec)
     data = exported.serialize()
     with open(path, "wb") as f:
         f.write(data)
@@ -97,11 +141,52 @@ def export_stablehlo(
 
 
 def load_exported(path: str):
-    """Deserialize an exported artifact; returns an object with .call(images)."""
+    """Deserialize an exported artifact; returns an object with .call(...)."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
         return jexport.deserialize(bytearray(f.read()))
+
+
+class _ServingArtifact:
+    """A loaded artifact normalized to ``call(images)``, regardless of
+    whether the weights are embedded as constants or ride in the
+    ``<path>.weights.msgpack`` sidecar (weights-as-arguments export)."""
+
+    def __init__(self, exported, weights=None):
+        self.exported = exported
+        self.weights = weights
+        self.nr_devices = exported.nr_devices
+        # the image aval is the last input; with sidecar weights the
+        # preceding avals belong to the flattened variables pytree
+        self.in_avals = exported.in_avals
+        self.out_avals = exported.out_avals
+
+    def call(self, images):
+        if self.weights is None:
+            return self.exported.call(images)
+        return self.exported.call(self.weights, images)
+
+
+def load_serving(path: str) -> _ServingArtifact:
+    """Load an exported serving artifact plus its weights sidecar (if one
+    exists). Returns an object with ``.call(images)``."""
+    import os
+
+    from flax import serialization
+
+    exported = load_exported(path)
+    weights = None
+    sidecar = path + ".weights.msgpack"
+    if os.path.exists(sidecar):
+        with open(sidecar, "rb") as f:
+            weights = serialization.msgpack_restore(f.read())
+    elif len(exported.in_avals) > 1:
+        raise FileNotFoundError(
+            f"{path} was exported with weights-as-arguments but the sidecar "
+            f"{sidecar} is missing"
+        )
+    return _ServingArtifact(exported, weights)
 
 
 def write_native_artifact(
