@@ -458,7 +458,7 @@ class TrainValDataset:
                 pass
         return im, (h0, w0), im.shape[:2]
 
-    def _one_mosaic_native(self, index, shape, flip_lr, flip_ud):
+    def _one_mosaic_native(self, index, shape, flip_lr, flip_ud, hsv_gains=None):
         """One fused-native mosaic draw (same index/param distributions as
         get_mosaic + mosaic_augmentation). Returns (img RGB, labels xyxy)."""
         from yolov6_tpu.data import native_aug as na
@@ -477,7 +477,7 @@ class TrainValDataset:
             specific_shape=self.specific_shape,
             target_height=self.target_height or self.img_size,
             target_width=self.target_width or self.img_size,
-            flip_lr=flip_lr, flip_ud=flip_ud,
+            hsv_gains=hsv_gains, flip_lr=flip_lr, flip_ud=flip_ud,
         )
 
     def _mosaic_native_sample(self, index, shape):
@@ -485,9 +485,16 @@ class TrainValDataset:
 
         Flips are drawn up front and fused into the warp kernel (they
         commute with HSV and mixup); HSV runs AFTER the optional mixup
-        blend, like the reference (general_augment follows mixup). Label
-        flips are applied by __getitem__ after normalization, matching
-        general_augment's order. Returns (img, labels_xyxy, flip_lr, flip_ud).
+        blend, like the reference (general_augment follows mixup), via the
+        cv2 LUT pipeline. NOTE (measured, don't retry): routing HSV into
+        the kernel's fused float path (hsv_gains=...) is ~3x SLOWER than
+        this LUT pass on the 1-core host — cv2's fixed-point SIMD
+        cvtColor+LUT beats scalar per-pixel float HSV (warm loader 79.6 ->
+        52 imgs/s; kernel tottime 0.8 -> 2.6 s per 192 imgs). The fused
+        path stays available for callers that need single-pass semantics.
+        Label flips are applied by __getitem__ after normalization,
+        matching general_augment's order.
+        Returns (img, labels_xyxy, flip_lr, flip_ud).
         """
         from yolov6_tpu.data import native_aug as na
         from yolov6_tpu.data.data_augment import augment_hsv_rgb
@@ -502,10 +509,7 @@ class TrainValDataset:
             r = np.random.beta(32.0, 32.0)  # reference data_augment.py:61-66
             native.blend_native(img, img2, r)
             labels = np.concatenate((labels, labels2), 0)
-        augment_hsv_rgb(
-            img,
-            na.draw_hsv_gains(self.hyp),
-        )
+        augment_hsv_rgb(img, na.draw_hsv_gains(self.hyp))
         return img, labels, flip_lr, flip_ud
 
     def get_mosaic(self, index, shape):
@@ -603,6 +607,9 @@ class TrainValDataset:
                     from yolov6_tpu.data.data_augment import augment_hsv_rgb
 
                     flip_lr, flip_ud = na.draw_flips(self.hyp)
+                    # HSV via the cv2 LUT pass, NOT the kernel's fused float
+                    # path — measured 3x slower in-kernel (see
+                    # _mosaic_native_sample docstring)
                     img, labels = na.affine_hsv_native(
                         img, labels, flip_lr=flip_lr, flip_ud=flip_ud, **aug_kw
                     )
