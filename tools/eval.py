@@ -131,6 +131,12 @@ def run(
             cfg, num_classes=data["nc"], deploy=True,
             dtype=jnp.bfloat16 if half else jnp.float32,
         )
+        if weights and not os.path.exists(weights):
+            # reference Evaler.init_model (core/evaler.py:64-66): missing
+            # weights trigger a release-download attempt before loading
+            from yolov6_tpu.utils.general import download_ckpt
+
+            download_ckpt(weights)
         variables = load_checkpoint_variables(
             weights, model, img_size=(height, width) if specific_shape else (img_size, img_size),
             deploy=True, training_mode=cfg.get("training_mode", "repvgg"),

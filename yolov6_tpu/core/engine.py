@@ -79,6 +79,12 @@ class Trainer:
 
         pretrained = cfg.model.get("pretrained")
         if pretrained:
+            if not os.path.exists(pretrained):
+                # reference engine.py:418-422: missing finetune weights
+                # trigger a release-download attempt before loading
+                from yolov6_tpu.utils.general import download_ckpt
+
+                download_ckpt(pretrained)
             LOGGER.info(f"Loading state_dict from {pretrained} for fine-tuning...")
             loaded = load_checkpoint_variables(
                 pretrained, self.model, img_size=(self.img_size, self.img_size),
@@ -103,6 +109,11 @@ class Trainer:
                 raise ValueError("Distill models should turn off fuse_ab")
             t_fuse_ab = cfg.model.head.num_layers == 3
             teacher_model = build_model(cfg, self.num_classes, fuse_ab=t_fuse_ab, deploy=False)
+            if not os.path.exists(args.teacher_model_path):
+                # reference get_teacher_model path does the same fetch
+                from yolov6_tpu.utils.general import download_ckpt
+
+                download_ckpt(args.teacher_model_path)
             t_vars = load_checkpoint_variables(
                 args.teacher_model_path, teacher_model,
                 img_size=(self.img_size, self.img_size), deploy=False,
